@@ -1,0 +1,105 @@
+"""Device-side ELL (padded-row) sparse matrix.
+
+TPU-first sparse format: every row padded to the same width `k`, giving static
+shapes and a regular gather — the layout XLA tiles well. This is the solve-time
+analog of the per-level CSR blocks the reference extracts from hypre
+(reference: src/SMEM_Setup.cpp:182-588) and of its fused CSR SpMV workhorse
+`SMEM_SpGEMV` (reference: src/SMEM_MatVec.cpp:123-259).
+
+SpMV is `(vals * x[cols]).sum(axis=1)`: one gather + one elementwise multiply +
+a small-axis reduction, all fused by XLA into a single bandwidth-bound loop.
+Transposed products (restriction) are never scattered on device; explicit
+transposes are materialized host-side at setup, exactly as the reference builds
+explicit `R` (reference: src/SMEM_Setup.cpp:1341-1370).
+
+Padding convention: col = 0, val = 0 (safe under gather).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from amg_tpu.dtypes import INDEX_DTYPE
+
+
+class ELLMatrix(NamedTuple):
+    """ELL matrix as a pytree of two device arrays.
+
+    cols: (n_rows, k) int32 — column index per slot (0 where padded)
+    vals: (n_rows, k) float — value per slot (0 where padded)
+    n_cols is carried statically via `shape_cols` so rectangular operators
+    (P: fine×coarse, R: coarse×fine) know their domain size.
+    """
+
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    shape_cols: int  # static aux: number of columns of the operator
+
+    @property
+    def n_rows(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.cols.shape[1]
+
+    @property
+    def shape(self) -> tuple:
+        return (self.n_rows, self.shape_cols)
+
+    @property
+    def nnz_padded(self) -> int:
+        return self.cols.size
+
+    # ---- apply --------------------------------------------------------
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A @ x."""
+        return ell_spmv(self, x)
+
+    def __matmul__(self, x):
+        return ell_spmv(self, x)
+
+
+def ell_from_csr(csr, k: int | None = None, dtype=None) -> ELLMatrix:
+    """Convert a host CSRMatrix to device ELL, padding rows to width k."""
+    n = csr.n_rows
+    if k is None:
+        k = max(csr.max_row_nnz, 1)
+    cols = np.zeros((n, k), dtype=INDEX_DTYPE)
+    vals = np.zeros((n, k), dtype=np.float64)
+    counts = np.diff(csr.indptr)
+    if csr.nnz:
+        # slot index of each nnz within its row
+        row_ids = np.repeat(np.arange(n), counts)
+        slot = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], counts)
+        cols[row_ids, slot] = csr.indices
+        vals[row_ids, slot] = csr.data
+    if dtype is None:
+        dtype = jnp.float64
+    return ELLMatrix(
+        cols=jnp.asarray(cols),
+        vals=jnp.asarray(vals, dtype=dtype),
+        shape_cols=csr.n_cols,
+    )
+
+
+def ell_spmv(a: ELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x: gather + multiply + reduce over the (small) slot axis."""
+    return jnp.sum(a.vals * x[a.cols], axis=1)
+
+
+def ell_spgemv(
+    a: ELLMatrix, x: jnp.ndarray, b: jnp.ndarray, alpha, beta
+) -> jnp.ndarray:
+    """Fused y = alpha*A@x + beta*b — the reference's SpMV workhorse with its
+    eight (alpha, beta) specializations collapsed into one XLA-fused kernel
+    (reference: src/SMEM_MatVec.cpp:123-259)."""
+    return alpha * ell_spmv(a, x) + beta * b
+
+
+def ell_residual(a: ELLMatrix, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """r = b - A@x (reference: src/SEQ_MatVec.cpp:44-63)."""
+    return b - ell_spmv(a, x)
