@@ -1,0 +1,216 @@
+"""AMG hierarchy construction and the device-side hierarchy pytree.
+
+The native replacement for the reference's setup stack: BoomerAMG setup +
+per-level extraction + explicit transposes + scale arrays + coarse direct
+solve (reference: src/SMEM_Setup.cpp:55-588, src/DMEM_Setup.cpp:39-519).
+
+Host phase (float64 numpy/scipy, once per matrix):
+    strength → C/F split (PMIS/HMIS) → interpolation (direct or ext+i,
+    truncated) → explicit R = P^T → Galerkin RAP → recurse; plus smoothed
+    transfer operators for multadd and per-level smoother scale arrays.
+
+Device phase: each level's operators convert to ELL (level 0 optionally keeps
+its stencil fast path), the coarsest A becomes a precomputed dense inverse
+applied as a single (MXU) matmul — the TPU analog of the reference's gathered
+Gaussian elimination (`hypre_GaussElimSetup/Solve(…,9|99)`,
+src/DMEM_Setup.cpp:378-389, src/SMEM_Setup.cpp:138).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from amg_tpu.setup.coarsen import C_PT, COARSENING
+from amg_tpu.setup.interp import (
+    direct_interpolation,
+    extended_i_interpolation,
+    truncate_interpolation,
+)
+from amg_tpu.setup.rap import (
+    estimate_rho_dinv_a,
+    galerkin_product,
+    smoothed_transfer,
+)
+from amg_tpu.setup.strength import strength_graph
+from amg_tpu.smooth import SmootherData, SmootherType, make_smoother_data
+from amg_tpu.sparse.csr import CSRMatrix
+from amg_tpu.sparse.ell import ELLMatrix, ell_from_csr
+from amg_tpu.sparse.stencil import StencilOperator
+
+
+@dataclass(frozen=True)
+class HierarchyParams:
+    """Setup knobs, mirroring the reference's hypre configuration
+    (reference: src/SMEM_Setup.cpp:1673-1759, src/DMEM_Setup.cpp:554-594)."""
+
+    strong_threshold: float = 0.25
+    coarsen_type: str = "hmis"  # "pmis" | "hmis"
+    interp_type: str = "ext+i"  # "direct" | "ext+i"
+    trunc_factor: float = 0.0
+    p_max_elmts: int = 4
+    max_levels: int = 25
+    max_coarse_size: int = 64
+    seed: int = 0
+    smoother: SmootherType = SmootherType.L1_JACOBI
+    smooth_weight: Optional[float] = None  # None → 1/rho(S^-1 A) per level
+    block_size: int = 128
+    build_smoothed_transfers: bool = True  # multadd P~/R~
+    dtype: Any = jnp.float64
+    keep_stencil_fine: bool = True  # level-0 stencil fast path when available
+
+
+class Level(NamedTuple):
+    """One device-side level. P maps level k+1 → k; R maps k → k+1
+    (both None on the coarsest level)."""
+
+    A: Any  # ELLMatrix | StencilOperator
+    P: Optional[ELLMatrix]
+    R: Optional[ELLMatrix]
+    P_s: Optional[ELLMatrix]  # smoothed prolongation (multadd)
+    R_s: Optional[ELLMatrix]
+    sm: SmootherData
+
+
+class Hierarchy(NamedTuple):
+    levels: Tuple[Level, ...]
+    coarse_Ainv: jnp.ndarray  # dense inverse of the coarsest operator
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    def level_sizes(self) -> Tuple[int, ...]:
+        return tuple(lv.A.shape[0] for lv in self.levels)
+
+
+@dataclass
+class HostLevel:
+    A: CSRMatrix
+    P: Optional[CSRMatrix] = None
+    R: Optional[CSRMatrix] = None
+    P_s: Optional[CSRMatrix] = None
+    R_s: Optional[CSRMatrix] = None
+    cf: Optional[np.ndarray] = None
+    weight: float = 1.0
+
+
+@dataclass
+class HostHierarchy:
+    levels: List[HostLevel] = field(default_factory=list)
+    params: Optional[HierarchyParams] = None
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    def stats(self) -> dict:
+        ns = [lv.A.n_rows for lv in self.levels]
+        nnzs = [lv.A.nnz for lv in self.levels]
+        return {
+            "num_levels": len(ns),
+            "n": ns,
+            "nnz": nnzs,
+            "operator_complexity": sum(nnzs) / nnzs[0] if nnzs else 0.0,
+            "grid_complexity": sum(ns) / ns[0] if ns else 0.0,
+        }
+
+
+def build_host_hierarchy(A: CSRMatrix, params: HierarchyParams) -> HostHierarchy:
+    hh = HostHierarchy(params=params)
+    coarsen = COARSENING[params.coarsen_type]
+    interp = {
+        "direct": direct_interpolation,
+        "ext+i": extended_i_interpolation,
+    }[params.interp_type]
+    level_A = A
+    for lvl in range(params.max_levels):
+        hl = HostLevel(A=level_A)
+        if params.smooth_weight is not None:
+            hl.weight = params.smooth_weight
+        else:
+            # per-level near-optimal damping w ≈ 1 / rho(S^-1 A), with S the
+            # scaling the configured smoother actually uses
+            scale = None
+            if params.smoother in (
+                SmootherType.L1_JACOBI,
+                SmootherType.SYM_L1_JACOBI,
+            ):
+                scale = level_A.l1_row_norms()
+            hl.weight = 1.0 / max(
+                estimate_rho_dinv_a(level_A, seed=params.seed, scale=scale), 1e-12
+            )
+        hh.levels.append(hl)
+        if level_A.n_rows <= params.max_coarse_size or lvl == params.max_levels - 1:
+            break
+        S = strength_graph(level_A, params.strong_threshold)
+        cf = coarsen(S, seed=params.seed)
+        nc = int((cf == C_PT).sum())
+        if nc == 0 or nc == level_A.n_rows:
+            break  # coarsening stalled
+        P = interp(level_A, S, cf)
+        P = truncate_interpolation(P, params.trunc_factor, params.p_max_elmts)
+        R = P.transpose()
+        hl.P, hl.R, hl.cf = P, R, cf
+        if params.build_smoothed_transfers:
+            scale = (
+                level_A.l1_row_norms()
+                if params.smoother
+                in (SmootherType.L1_JACOBI, SmootherType.SYM_L1_JACOBI)
+                else np.where(level_A.diagonal() == 0.0, 1.0, level_A.diagonal())
+            )
+            hl.P_s, hl.R_s = smoothed_transfer(level_A, P, scale, hl.weight)
+        level_A = galerkin_product(R, level_A, P)
+    return hh
+
+
+def device_hierarchy(
+    hh: HostHierarchy,
+    params: HierarchyParams,
+    fine_stencil: Optional[StencilOperator] = None,
+) -> Hierarchy:
+    levels = []
+    dtype = params.dtype
+    for k, hl in enumerate(hh.levels):
+        if k == 0 and fine_stencil is not None and params.keep_stencil_fine:
+            A_dev: Any = StencilOperator(
+                weights=jnp.asarray(fine_stencil.weights, dtype=dtype),
+                offsets=fine_stencil.offsets,
+                grid_shape=fine_stencil.grid_shape,
+            )
+        else:
+            A_dev = ell_from_csr(hl.A, dtype=dtype)
+        sm = make_smoother_data(
+            hl.A,
+            params.smoother,
+            w=hl.weight,
+            block_size=params.block_size,
+            dtype=dtype,
+        )
+        to_ell = lambda m: None if m is None else ell_from_csr(m, dtype=dtype)
+        levels.append(
+            Level(
+                A=A_dev,
+                P=to_ell(hl.P),
+                R=to_ell(hl.R),
+                P_s=to_ell(hl.P_s),
+                R_s=to_ell(hl.R_s),
+                sm=sm,
+            )
+        )
+    coarse_dense = hh.levels[-1].A.to_dense()
+    coarse_Ainv = jnp.asarray(np.linalg.inv(coarse_dense), dtype=dtype)
+    return Hierarchy(levels=tuple(levels), coarse_Ainv=coarse_Ainv)
+
+
+def build_hierarchy(
+    A: CSRMatrix,
+    params: HierarchyParams = HierarchyParams(),
+    fine_stencil: Optional[StencilOperator] = None,
+) -> Tuple[HostHierarchy, Hierarchy]:
+    """Full setup: host hierarchy + device pytree. Returns (host, device)."""
+    hh = build_host_hierarchy(A, params)
+    return hh, device_hierarchy(hh, params, fine_stencil)

@@ -1,0 +1,129 @@
+"""Solve driver: tolerance loop, residual history, outer acceleration.
+
+The native analog of the reference's solve loops (reference:
+src/DMEM_Mult.cpp:13-93, src/DMEM_Add.cpp:20-178, src/SMEM_Solve.cpp:11-240):
+run cycles until the relative residual 2-norm meets tol or max_cycles is hit,
+recording the per-cycle residual history (the reference's -print_reshist
+convergence oracle, src/SMEM_Solve.cpp:95-103).
+
+The whole loop is one jitted lax.while_loop; the residual norm is computed on
+device each cycle and the history written into a fixed-size (nan-padded)
+array, so a solve is a single XLA program launch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from amg_tpu.solve.accel import (
+    ChebyCoeffs,
+    cheby_init,
+    cheby_update,
+)
+from amg_tpu.solve.cycles import CycleConfig, CycleType, cycle_step
+from amg_tpu.solve.krylov import pcg
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    rel_resnorm: jnp.ndarray
+    history: jnp.ndarray  # relative residual per cycle, nan-padded
+
+    def num_iters(self) -> int:
+        return int(self.iters)
+
+    def history_list(self):
+        import numpy as np
+
+        h = np.asarray(self.history)
+        return h[~np.isnan(h)].tolist()
+
+
+def _solve_loop(hier, cfg: CycleConfig, b, x0, tol, max_cycles, accel, coeffs):
+    A0 = hier.levels[0].A
+    r0 = b - A0 @ x0
+    r0norm = jnp.linalg.norm(r0)
+    safe_r0 = jnp.where(r0norm == 0.0, 1.0, r0norm)
+    hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=b.dtype)
+    hist0 = hist0.at[0].set(1.0)
+    cheby0 = cheby_init(b.shape[0], b.dtype)
+
+    def cond(state):
+        x, ch, it, relnorm, hist = state
+        return (it < max_cycles) & (relnorm > tol)
+
+    def body(state):
+        x, ch, it, relnorm, hist = state
+        x_new = cycle_step(hier, cfg, x, b)
+        if accel in ("cheby", "richardson"):
+            u = x_new - x  # the cycle's raw additive correction
+            ch = cheby_update(ch, u, coeffs, richardson=(accel == "richardson"))
+            x_new = x + ch.d
+        r = b - A0 @ x_new
+        relnorm = jnp.linalg.norm(r) / safe_r0
+        hist = hist.at[it + 1].set(relnorm)
+        return (x_new, ch, it + 1, relnorm, hist)
+
+    state = (x0, cheby0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, b.dtype), hist0)
+    x, _, it, relnorm, hist = jax.lax.while_loop(cond, body, state)
+    return SolveResult(x=x, iters=it, rel_resnorm=relnorm, history=hist)
+
+
+def solve(
+    hier,
+    cfg: CycleConfig,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    tol: float = 1e-8,
+    max_cycles: int = 200,
+    accel: Optional[str] = None,  # None | "cheby" | "richardson"
+    cheby_coeffs: Optional[ChebyCoeffs] = None,
+    outer: Optional[str] = None,  # None | "pcg"
+) -> SolveResult:
+    """Solve A x = b with the configured cycle (optionally accelerated or
+    wrapped in PCG). Compiles once per (hierarchy shapes, cfg, options)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if accel in ("cheby", "richardson") and cheby_coeffs is None:
+        raise ValueError("accelerated solve needs cheby_coeffs (see cheby_setup)")
+    if outer == "pcg":
+        A0 = hier.levels[0].A
+
+        def precond(r):
+            return cycle_step(hier, cfg, jnp.zeros_like(r), r)
+
+        res = jax.jit(
+            lambda b_, x0_: pcg(
+                lambda v: A0 @ v, precond, b_, x0_, tol=tol, max_iters=max_cycles
+            )
+        )(b, x0)
+        return SolveResult(
+            x=res.x, iters=res.iters, rel_resnorm=res.rel_resnorm, history=res.history
+        )
+    fn = jax.jit(
+        _solve_loop,
+        static_argnames=("cfg", "tol", "max_cycles", "accel", "coeffs"),
+    )
+    return fn(hier, cfg, b, x0, tol, max_cycles, accel, cheby_coeffs)
+
+
+def cheby_setup(
+    hier, cfg: CycleConfig, num_iters: int = 20, seed: int = 0
+) -> ChebyCoeffs:
+    """Estimate eigenvalue bounds of the cycle-preconditioned operator
+    (reference: ChebySetup → DMEM_PowerMult, src/DMEM_Eig.cpp:10-104)."""
+    from amg_tpu.solve.accel import estimate_cycle_eigs
+
+    A0 = hier.levels[0].A
+    n = A0.shape[0]
+    dtype = hier.levels[0].sm.inv_wscale.dtype
+
+    def apply_MinvA(u):
+        f = A0 @ u
+        return cycle_step(hier, cfg, jnp.zeros_like(f), f)
+
+    return estimate_cycle_eigs(apply_MinvA, n, dtype, num_iters=num_iters, seed=seed)

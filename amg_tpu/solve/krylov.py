@@ -1,0 +1,61 @@
+"""Outer PCG with any cycle as the preconditioner.
+
+The reference injects its cycles into hypre's PCG as function pointers
+(reference: src/DMEM_Setup.cpp:129-167,596-607; src/SMEM_Main.cpp:697-723).
+Here the preconditioner is any callable M(r) -> z (typically one V-cycle or
+additive cycle from a zero initial guess), and PCG itself is a jittable
+lax.while_loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PCGResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    rel_resnorm: jnp.ndarray
+    history: jnp.ndarray  # per-iteration relative residual norms (nan-padded)
+
+
+def pcg(
+    matvec: Callable,
+    precond: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    tol: float = 1e-8,
+    max_iters: int = 100,
+) -> PCGResult:
+    r0 = b - matvec(x0)
+    bnorm = jnp.linalg.norm(r0)
+    safe_bnorm = jnp.where(bnorm == 0.0, 1.0, bnorm)
+    z0 = precond(r0)
+    history0 = jnp.full((max_iters + 1,), jnp.nan, dtype=b.dtype)
+    history0 = history0.at[0].set(1.0)
+
+    def cond(state):
+        x, r, z, p, rz, it, hist = state
+        return (it < max_iters) & (jnp.linalg.norm(r) / safe_bnorm > tol)
+
+    def body(state):
+        x, r, z, p, rz, it, hist = state
+        Ap = matvec(p)
+        alpha = rz / jnp.dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        hist = hist.at[it + 1].set(jnp.linalg.norm(r) / safe_bnorm)
+        return (x, r, z, p, rz_new, it + 1, hist)
+
+    init = (x0, r0, z0, z0, jnp.dot(r0, z0), jnp.asarray(0, jnp.int32), history0)
+    x, r, _, _, _, it, hist = jax.lax.while_loop(cond, body, init)
+    return PCGResult(
+        x=x, iters=it, rel_resnorm=jnp.linalg.norm(r) / safe_bnorm, history=hist
+    )

@@ -17,26 +17,36 @@ Padding convention: col = 0, val = 0 (safe under gather).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from amg_tpu.dtypes import INDEX_DTYPE
 
 
-class ELLMatrix(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ELLMatrix:
     """ELL matrix as a pytree of two device arrays.
 
     cols: (n_rows, k) int32 — column index per slot (0 where padded)
     vals: (n_rows, k) float — value per slot (0 where padded)
-    n_cols is carried statically via `shape_cols` so rectangular operators
-    (P: fine×coarse, R: coarse×fine) know their domain size.
+    n_cols is carried as static aux data (`shape_cols`) so rectangular
+    operators (P: fine×coarse, R: coarse×fine) know their domain size.
     """
 
     cols: jnp.ndarray
     vals: jnp.ndarray
     shape_cols: int  # static aux: number of columns of the operator
+
+    def tree_flatten(self):
+        return (self.cols, self.vals), self.shape_cols
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(cols=children[0], vals=children[1], shape_cols=aux)
 
     @property
     def n_rows(self) -> int:

@@ -15,18 +15,29 @@ the reference wraps.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class StencilOperator(NamedTuple):
-    """weights: (m,) device array; offsets/grid_shape: static metadata."""
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class StencilOperator:
+    """weights: (m,) device array; offsets/grid_shape: static aux metadata."""
 
     weights: jnp.ndarray
     offsets: Tuple[Tuple[int, ...], ...]  # static, one tuple per weight
     grid_shape: Tuple[int, ...]  # static
+
+    def tree_flatten(self):
+        return (self.weights,), (self.offsets, self.grid_shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(weights=children[0], offsets=aux[0], grid_shape=aux[1])
 
     @property
     def n_rows(self) -> int:

@@ -1,0 +1,124 @@
+"""Solver convergence tests — the convergence-history oracle of SURVEY.md §4.
+
+Baseline config 1: 2D 5-pt Laplacian, synchronous AMG V-cycle to 1e-8."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from amg_tpu.problems import laplacian_2d_5pt, laplacian_3d_27pt
+from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+from amg_tpu.smooth import SmootherType
+from amg_tpu.solve import CycleConfig, CycleType, solve
+from amg_tpu.solve.driver import cheby_setup
+
+
+@pytest.fixture(scope="module")
+def lap32():
+    prob = laplacian_2d_5pt(32)
+    params = HierarchyParams(smoother=SmootherType.L1_JACOBI)
+    hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+    b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+    return prob, hh, hier, b
+
+
+def check_solution(prob, res, b, tol):
+    r = np.asarray(b) - prob.A @ np.asarray(res.x)
+    r0 = np.linalg.norm(np.asarray(b))
+    assert np.linalg.norm(r) / r0 <= tol * 1.01, "residual recheck failed"
+
+
+class TestMult:
+    def test_vcycle_to_1e8(self, lap32):
+        prob, hh, hier, b = lap32
+        cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=60)
+        assert res.num_iters() <= 25, f"too many V-cycles: {res.num_iters()}"
+        check_solution(prob, res, b, 1e-8)
+        # monotone history with sane rate
+        h = res.history_list()
+        rate = (h[-1] / h[1]) ** (1.0 / (len(h) - 2))
+        assert rate < 0.45
+
+    def test_zero_rhs_fixed_point(self, lap32):
+        prob, hh, hier, b = lap32
+        cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+        res = solve(hier, cfg, jnp.zeros_like(b), tol=1e-8, max_cycles=5)
+        assert float(jnp.max(jnp.abs(res.x))) == 0.0
+
+    def test_hybrid_jgs_faster_than_jacobi(self):
+        prob = laplacian_2d_5pt(24)
+        b = jnp.asarray(np.random.default_rng(1).random(prob.n))
+        iters = {}
+        for sm in (SmootherType.L1_JACOBI, SmootherType.HYBRID_JGS):
+            params = HierarchyParams(smoother=sm)
+            hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+            cfg = CycleConfig(cycle=CycleType.MULT, smoother=sm)
+            res = solve(hier, cfg, b, tol=1e-8, max_cycles=60)
+            iters[sm] = res.num_iters()
+        assert iters[SmootherType.HYBRID_JGS] <= iters[SmootherType.L1_JACOBI]
+
+
+class TestAdditive:
+    def test_multadd_smoothed_transfers_standalone(self, lap32):
+        """multadd with smoothed interpolants converges as a standalone
+        iteration (the reference's headline solver)."""
+        prob, hh, hier, b = lap32
+        cfg = CycleConfig(
+            cycle=CycleType.MULTADD,
+            smoother=SmootherType.L1_JACOBI,
+            use_smoothed_transfers=True,
+        )
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=100)
+        assert res.num_iters() <= 60
+        check_solution(prob, res, b, 1e-8)
+
+    def test_multadd_cheby(self, lap32):
+        prob, hh, hier, b = lap32
+        cfg = CycleConfig(
+            cycle=CycleType.MULTADD,
+            smoother=SmootherType.L1_JACOBI,
+            use_smoothed_transfers=True,
+        )
+        coeffs = cheby_setup(hier, cfg, num_iters=15)
+        res = solve(
+            hier, cfg, b, tol=1e-8, max_cycles=60, accel="cheby", cheby_coeffs=coeffs
+        )
+        assert res.num_iters() <= 25
+        check_solution(prob, res, b, 1e-8)
+
+    def test_afacx(self, lap32):
+        prob, hh, hier, b = lap32
+        cfg = CycleConfig(cycle=CycleType.AFACX, smoother=SmootherType.L1_JACOBI)
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=60)
+        assert res.num_iters() <= 40
+        check_solution(prob, res, b, 1e-8)
+
+    def test_bpx_pcg(self, lap32):
+        prob, hh, hier, b = lap32
+        cfg = CycleConfig(cycle=CycleType.BPX, smoother=SmootherType.L1_JACOBI)
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=60, outer="pcg")
+        assert res.num_iters() <= 40
+        check_solution(prob, res, b, 1e-8)
+
+    def test_multadd_pcg(self, lap32):
+        prob, hh, hier, b = lap32
+        cfg = CycleConfig(cycle=CycleType.MULTADD, smoother=SmootherType.L1_JACOBI)
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=60, outer="pcg")
+        assert res.num_iters() <= 30
+        check_solution(prob, res, b, 1e-8)
+
+
+class Test3D:
+    def test_27pt_jacobi_cheby(self):
+        """Baseline config 2 (small): 3D 27-pt, Jacobi + Chebyshev."""
+        prob = laplacian_3d_27pt(10)
+        params = HierarchyParams(smoother=SmootherType.JACOBI)
+        hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+        b = jnp.asarray(np.random.default_rng(2).random(prob.n))
+        cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.JACOBI)
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=60)
+        assert res.num_iters() <= 30
+        r = np.asarray(b) - prob.A @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 1.1e-8
