@@ -81,13 +81,24 @@ def cheby_update(
 
 
 def estimate_cycle_eigs(
-    apply_MinvA, n: int, dtype, num_iters: int = 20, seed: int = 0
+    apply_MinvA,
+    n: int,
+    dtype,
+    num_iters: int = 20,
+    seed: int = 0,
+    range_start: bool = False,
 ) -> ChebyCoeffs:
     """Eigenvalue bounds of the cycle-preconditioned operator M^-1 A by power
-    iteration + shifted power iteration (host loop over jitted applies)."""
+    iteration + shifted power iteration (host loop over jitted applies).
+
+    range_start=True starts iterates inside range(op) (one extra apply) so the
+    smallest-eigenvalue run finds the smallest NONZERO eigenvalue of a
+    singular operator — needed for the (semidefinite) extended BPX system."""
     rng = np.random.default_rng(seed)
     apply_j = jax.jit(apply_MinvA)
     u = jnp.asarray(rng.random(n), dtype=dtype)
+    if range_start:
+        u = apply_j(u)
     lam_max = 1.0
     for _ in range(num_iters):
         u = u / jnp.linalg.norm(u)
@@ -97,6 +108,8 @@ def estimate_cycle_eigs(
     lam_max = abs(lam_max)
     # shifted run: power iteration on (lam_max I - M^-1 A) → lam_max - lam_min
     u = jnp.asarray(rng.random(n), dtype=dtype)
+    if range_start:
+        u = apply_j(u)
     rho = 0.0
     for _ in range(num_iters):
         u = u / jnp.linalg.norm(u)

@@ -1,0 +1,240 @@
+"""Asynchronous additive AMG as a bounded-staleness state machine.
+
+The reference realizes async multigrid three ways (OpenMP races, MPI
+nonblocking messages, and a sequential simulator with randomized staleness)
+that share one semantic model, which its own simulator makes explicit
+(reference: SEQ_Add_Vcycle_SimRand, src/SEQ_AMG.cpp:531-793):
+
+  per global step k, each level ("grid group") independently
+    - fires with some probability (rate mismatch between groups),
+    - reads a STALE snapshot of the global state — solution (READ_SOL) or
+      residual (READ_RES) — of age ≤ sim_read_delay, monotonically newer
+      than its last read; FULL_ASYNC staleness is per-row, SEMI_ASYNC
+      per-level,
+    - computes its additive correction from that stale read,
+  and all firing corrections are accumulated into x; grid-wait statistics
+  record how many global corrections elapsed between a level's reads
+  (reference: src/SMEM_Async_AMG.cpp:242-252, src/Main.hpp:356-359).
+
+On TPU this state machine IS the async solver (XLA programs are bulk-
+synchronous per step): the snapshot history is a ring buffer of device
+arrays, staleness is explicit randomized indexing with a jax PRNG, and the
+whole solve is one jitted lax.while_loop. The same model drives the
+multi-chip async schedule in amg_tpu.parallel.
+
+Delay/failure injection (reference: src/Main.hpp:136-141,
+src/SMEM_Main.cpp:572-596, src/SMEM_Solve.cpp:33-43) maps to per-level
+firing probabilities and a transient fail window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from amg_tpu.solve.cycles import CycleConfig, additive_correction
+
+
+@dataclass(frozen=True)
+class AsyncConfig:
+    """Static async-execution knobs (reference CLI: -sim_read_delay,
+    -sim_grid_wait, async_type, res_compute aka read_type)."""
+
+    read_type: str = "sol"  # "sol" (recompute r from stale x) | "res"
+    async_type: str = "full"  # "full" (per-row staleness) | "semi" (per-level)
+    sim_read_delay: int = 4  # staleness window in global steps
+    fire_prob: float = 0.5  # per-level per-step firing probability
+    # fault injection: levels in delay_levels fire with delay_prob instead
+    delay_levels: Tuple[int, ...] = ()
+    delay_prob: float = 0.5
+    # transient failure: fail_level does not fire during
+    # [fail_start, fail_start + fail_duration)
+    fail_level: int = -1
+    fail_start: int = 0
+    fail_duration: int = 0
+
+
+class GridWaitStats(NamedTuple):
+    """Per-level staleness accounting (the async metric of record)."""
+
+    total: jnp.ndarray  # (L,) sum of waits
+    count: jnp.ndarray  # (L,) number of corrections
+    min: jnp.ndarray  # (L,)
+    max: jnp.ndarray  # (L,)
+
+    def summary(self):
+        import numpy as np
+
+        cnt = np.maximum(np.asarray(self.count), 1)
+        return {
+            "mean": (np.asarray(self.total) / cnt).tolist(),
+            "min": np.asarray(self.min).tolist(),
+            "max": np.asarray(self.max).tolist(),
+            "num_correct": np.asarray(self.count).tolist(),
+        }
+
+
+class AsyncResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    rel_resnorm: jnp.ndarray
+    history: jnp.ndarray
+    grid_wait: GridWaitStats
+
+
+def _fire_probs(acfg: AsyncConfig, L: int):
+    import numpy as np
+
+    p = np.full(L, acfg.fire_prob)
+    for lvl in acfg.delay_levels:
+        p[lvl] = acfg.delay_prob
+    return jnp.asarray(p)
+
+
+def async_solve(
+    hier,
+    cfg: CycleConfig,
+    acfg: AsyncConfig,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    tol: float = 1e-8,
+    max_cycles: int = 500,
+) -> AsyncResult:
+    """Solve A x = b with the asynchronous additive model."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    fn = jax.jit(
+        _async_loop, static_argnames=("cfg", "acfg", "tol", "max_cycles")
+    )
+    return fn(hier, cfg, acfg, b, x0, key, tol, max_cycles)
+
+
+def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
+    A0 = hier.levels[0].A
+    n = b.shape[0]
+    L = hier.num_levels
+    W = acfg.sim_read_delay + 1  # ring buffer depth
+    dtype = b.dtype
+    probs = _fire_probs(acfg, L).astype(dtype)
+
+    r0 = b - A0 @ x0
+    r0norm = jnp.linalg.norm(r0)
+    safe_r0 = jnp.where(r0norm == 0.0, 1.0, r0norm)
+
+    # ring buffer of snapshots: solution or residual depending on read_type
+    snap0 = x0 if acfg.read_type == "sol" else r0
+    hist_ring = jnp.tile(snap0[None, :], (W, 1))
+    # last read: per (level,row) in FULL mode, per level in SEMI
+    last_read = jnp.zeros((L, n) if acfg.async_type == "full" else (L,), jnp.int32)
+    gw0 = GridWaitStats(
+        total=jnp.zeros(L, dtype),
+        count=jnp.zeros(L, jnp.int32),
+        min=jnp.full(L, jnp.inf, dtype),
+        max=jnp.full(L, -jnp.inf, dtype),
+    )
+    hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=dtype)
+    hist0 = hist0.at[0].set(1.0)
+    global_correct0 = jnp.zeros((), jnp.int32)
+
+    def read_stale(ring, lr_level, k, subkey):
+        """Sample snapshot indices in [max(0, k-delay, last_read), k]."""
+        low = jnp.maximum(jnp.maximum(k - acfg.sim_read_delay, 0), lr_level)
+        if acfg.async_type == "full":
+            u = jax.random.uniform(subkey, (n,))
+            col = jnp.round(low + u * (k - low)).astype(jnp.int32)
+            stale = ring[col % W, jnp.arange(n)]
+        else:
+            u = jax.random.uniform(subkey, ())
+            col = jnp.round(low + u * (k - low)).astype(jnp.int32)
+            stale = ring[col % W]
+        return stale, col
+
+    def body(state):
+        x, ring, lr, gw, apply_marks, gcorrect, k, relnorm, hist, key = state
+        key, kf, kp, *kreads = jax.random.split(key, 3 + L)
+        fire = jax.random.uniform(kf, (L,), dtype) < probs
+        # transient failure window
+        if acfg.fail_level >= 0:
+            in_window = (k >= acfg.fail_start) & (
+                k < acfg.fail_start + acfg.fail_duration
+            )
+            fire = fire.at[acfg.fail_level].set(
+                jnp.where(in_window, False, fire[acfg.fail_level])
+            )
+
+        corrections = jnp.zeros((L, n), dtype)
+        new_lr = lr
+        read_cols = []
+        for lvl in range(L):
+            stale, col = read_stale(ring, lr[lvl], k, kreads[lvl])
+            new_lr = new_lr.at[lvl].set(
+                jnp.where(fire[lvl], col, lr[lvl]).astype(jnp.int32)
+            )
+            read_cols.append(col)
+            if acfg.read_type == "sol":
+                r_stale = b - A0 @ stale
+            else:
+                r_stale = stale
+            c = additive_correction(hier, cfg, r_stale, lvl)
+            corrections = corrections.at[lvl].set(
+                jnp.where(fire[lvl], c, jnp.zeros_like(c))
+            )
+
+        # apply in random order (order only affects grid-wait accounting —
+        # the sum itself commutes); reference shuffles level_perm
+        perm = jax.random.permutation(kp, L)
+        x = x + jnp.sum(corrections, axis=0)
+
+        # grid-wait statistics, evaluated in apply order: how many global
+        # corrections landed between this level's consecutive applies —
+        # the reference updates last_read_correct to the global count at
+        # apply time (reference: src/SMEM_Async_AMG.cpp:242-255).
+        def gw_body(carry, p):
+            gcount, marks, gw = carry
+            lvl_fire = fire[p]
+            wait = (gcount - marks[p]).astype(dtype)
+            gw = GridWaitStats(
+                total=gw.total.at[p].add(jnp.where(lvl_fire, wait, 0.0)),
+                count=gw.count.at[p].add(jnp.where(lvl_fire, 1, 0)),
+                min=gw.min.at[p].min(jnp.where(lvl_fire, wait, jnp.inf)),
+                max=gw.max.at[p].max(jnp.where(lvl_fire, wait, -jnp.inf)),
+            )
+            marks = marks.at[p].set(jnp.where(lvl_fire, gcount, marks[p]))
+            gcount = gcount + jnp.where(lvl_fire, 1, 0)
+            return (gcount, marks, gw), ()
+
+        (gcorrect, apply_marks, gw), _ = jax.lax.scan(
+            gw_body, (gcorrect, apply_marks, gw), perm
+        )
+        del read_cols
+
+        r_true = b - A0 @ x
+        relnorm = jnp.linalg.norm(r_true) / safe_r0
+        hist = hist.at[k + 1].set(relnorm)
+        snap = x if acfg.read_type == "sol" else r_true
+        ring = ring.at[(k + 1) % W].set(snap)
+        return (
+            x, ring, new_lr, gw, apply_marks, gcorrect, k + 1, relnorm, hist, key
+        )
+
+    def cond(state):
+        _, _, _, _, _, _, k, relnorm, _, _ = state
+        return (k < max_cycles) & (relnorm > tol)
+
+    state = (
+        x0, hist_ring, last_read, gw0, jnp.zeros(L, jnp.int32),
+        global_correct0, jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, dtype), hist0, key,
+    )
+    x, _, _, gw, _, _, it, relnorm, hist, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    return AsyncResult(
+        x=x, iters=it, rel_resnorm=relnorm, history=hist, grid_wait=gw
+    )

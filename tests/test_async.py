@@ -1,0 +1,144 @@
+"""Async bounded-staleness solver + extended-system tests.
+
+Baseline config 3: single-chip asynchronous-smoothing AMG semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from amg_tpu.problems import laplacian_2d_5pt
+from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+from amg_tpu.smooth import SmootherType
+from amg_tpu.solve import CycleConfig, CycleType
+from amg_tpu.solve.accel import estimate_cycle_eigs
+from amg_tpu.solve.async_sim import AsyncConfig, async_solve
+from amg_tpu.solve.extended import (
+    build_extended_system,
+    ext_matvec,
+    ext_prolong,
+    ext_restrict,
+    ext_solve,
+)
+
+
+@pytest.fixture(scope="module")
+def setup32():
+    prob = laplacian_2d_5pt(32)
+    params = HierarchyParams(smoother=SmootherType.L1_JACOBI)
+    hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+    b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+    return prob, hh, hier, b, params
+
+
+def multadd_cfg():
+    return CycleConfig(
+        cycle=CycleType.MULTADD,
+        smoother=SmootherType.L1_JACOBI,
+        use_smoothed_transfers=True,
+    )
+
+
+class TestAsyncSim:
+    def test_converges_with_staleness(self, setup32):
+        prob, hh, hier, b, params = setup32
+        acfg = AsyncConfig(read_type="sol", async_type="semi", sim_read_delay=4)
+        res = async_solve(hier, multadd_cfg(), acfg, b, tol=1e-8, max_cycles=500)
+        assert float(res.rel_resnorm) <= 1e-8
+        r = np.asarray(b) - prob.A @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1.1e-8
+
+    def test_staleness_degrades_convergence(self, setup32):
+        prob, hh, hier, b, params = setup32
+        iters = {}
+        for delay in (0, 8):
+            acfg = AsyncConfig(read_type="sol", async_type="full", sim_read_delay=delay)
+            res = async_solve(
+                hier, multadd_cfg(), acfg, b, tol=1e-8, max_cycles=800,
+                key=jax.random.PRNGKey(7),
+            )
+            iters[delay] = int(res.iters)
+            assert float(res.rel_resnorm) <= 1e-8
+        assert iters[8] > iters[0]
+
+    def test_grid_wait_stats_bounded(self, setup32):
+        prob, hh, hier, b, params = setup32
+        acfg = AsyncConfig(sim_read_delay=4)
+        res = async_solve(hier, multadd_cfg(), acfg, b, tol=1e-6, max_cycles=300)
+        gw = res.grid_wait.summary()
+        L = hier.num_levels
+        assert len(gw["mean"]) == L
+        # every level applied at least once; waits are positive and bounded
+        assert min(gw["num_correct"]) > 0
+        assert all(0.0 <= m <= 4 * L for m in gw["mean"])
+
+    def test_fault_injection_survives(self, setup32):
+        """Transient failure of one grid group: solver still converges and the
+        failed level records fewer corrections (reference -fail_one semantics,
+        src/SMEM_Main.cpp:572-596)."""
+        prob, hh, hier, b, params = setup32
+        acfg = AsyncConfig(fail_level=1, fail_start=10, fail_duration=100)
+        res = async_solve(hier, multadd_cfg(), acfg, b, tol=1e-8, max_cycles=800)
+        assert float(res.rel_resnorm) <= 1e-8
+        counts = res.grid_wait.summary()["num_correct"]
+        others = [c for i, c in enumerate(counts) if i != 1]
+        assert counts[1] < min(others)
+
+    def test_deterministic_under_key(self, setup32):
+        prob, hh, hier, b, params = setup32
+        acfg = AsyncConfig()
+        r1 = async_solve(hier, multadd_cfg(), acfg, b, tol=1e-6, max_cycles=200,
+                         key=jax.random.PRNGKey(3))
+        r2 = async_solve(hier, multadd_cfg(), acfg, b, tol=1e-6, max_cycles=200,
+                         key=jax.random.PRNGKey(3))
+        assert int(r1.iters) == int(r2.iters)
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+class TestExtendedSystem:
+    def test_implicit_equals_explicit(self, setup32):
+        prob, hh, hier, b, params = setup32
+        ext_i = build_extended_system(hh, params, explicit=False)
+        ext_e = build_extended_system(hh, params, explicit=True)
+        U = jnp.asarray(np.random.default_rng(1).random(ext_i.offsets[-1]))
+        yi = ext_matvec(ext_i, hier.levels[0].A, U)
+        ye = ext_matvec(ext_e, hier.levels[0].A, U)
+        np.testing.assert_allclose(np.asarray(yi), np.asarray(ye), atol=1e-11)
+
+    def test_galerkin_block_structure(self, setup32):
+        """AA = C^T A0 C with C the prolongation chains."""
+        prob, hh, hier, b, params = setup32
+        ext = build_extended_system(hh, params, explicit=False)
+        U = jnp.asarray(np.random.default_rng(2).random(ext.offsets[-1]))
+        x = ext_prolong(ext, U)
+        expect = ext_restrict(ext, jnp.asarray(prob.A @ np.asarray(x)))
+        got = ext_matvec(ext, hier.levels[0].A, U)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-11)
+
+    def test_cheby_solve(self, setup32):
+        prob, hh, hier, b, params = setup32
+        ext = build_extended_system(hh, params, explicit=False)
+        A0 = hier.levels[0].A
+        cc = estimate_cycle_eigs(
+            lambda u: ext.inv_wdiag * ext_matvec(ext, A0, u),
+            ext.offsets[-1], jnp.float64, num_iters=30, range_start=True,
+        )
+        res = ext_solve(hier, ext, b, tol=1e-8, max_cycles=200, cheby_coeffs=cc)
+        assert int(res.iters) <= 60
+        r = np.asarray(b) - prob.A @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 1.1e-8
+
+    def test_async_solve(self, setup32):
+        prob, hh, hier, b, params = setup32
+        ext = build_extended_system(hh, params, explicit=False)
+        A0 = hier.levels[0].A
+        cc = estimate_cycle_eigs(
+            lambda u: ext.inv_wdiag * ext_matvec(ext, A0, u),
+            ext.offsets[-1], jnp.float64, num_iters=30, range_start=True,
+        )
+        res = ext_solve(
+            hier, ext, b, tol=1e-8, max_cycles=800, cheby_coeffs=cc,
+            async_fire_prob=0.7, sim_read_delay=3,
+        )
+        assert float(res.rel_resnorm) <= 1e-8
