@@ -1,0 +1,74 @@
+"""Work model and level→device assignment ("grid parallelism").
+
+Native port of the reference's work-model logic: each level's work is
+proportional to its operator nnz (matvec/smooth cost) plus a vector-op term,
+and devices are assigned to levels in contiguous ranges sized by work
+fraction — the reference's ComputeWork/AssignProcs with MPI_Comm_split
+(reference: src/DMEM_Setup.cpp:1638-1846; SMEM thread analog
+PartitionLevels src/SMEM_Setup.cpp:590-868).
+
+On TPU the "communicator split" is a static block layout: the extended-system
+flat vector is padded so each level block occupies whole device shards of a
+1-D mesh, making level parallelism a row-block sharding (see
+amg_tpu.solve.extended and amg_tpu.parallel.dist).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def compute_level_work(
+    hh, async_mode: bool = True, imbalance: float = 0.0
+) -> np.ndarray:
+    """Per-level relative work. Additive cycles do a restrict chain + level
+    smooth + prolong chain per level, so level k's work counts its chain nnz
+    as well (the reference weights async vs sync differently and exposes an
+    artificial imbalance knob, src/DMEM_Setup.cpp:1762-1846)."""
+    L = hh.num_levels
+    nnz = np.array([lv.A.nnz for lv in hh.levels], dtype=np.float64)
+    rows = np.array([lv.A.n_rows for lv in hh.levels], dtype=np.float64)
+    p_nnz = np.array(
+        [lv.P.nnz if lv.P is not None else 0 for lv in hh.levels],
+        dtype=np.float64,
+    )
+    work = np.zeros(L)
+    for k in range(L):
+        # chain transfers to/from level k + smoothing (2 matvec-equivalents)
+        chain = p_nnz[:k].sum() if async_mode else p_nnz[:k].sum() / max(L, 1)
+        work[k] = 2.0 * chain + 2.0 * nnz[k] + 5.0 * rows[k]
+    if imbalance != 0.0:
+        rng = np.random.default_rng(0)
+        work *= 1.0 + imbalance * rng.random(L)
+    return work / work.sum()
+
+
+def assign_levels_to_devices(work: np.ndarray, num_devices: int) -> list:
+    """Contiguous device ranges per level, sized ∝ work fraction; every level
+    gets ≥1 device when possible, coarse levels may share the last device.
+    Returns [(dev_start, dev_end_exclusive)] per level
+    (reference: AssignProcs src/DMEM_Setup.cpp:1638-1759)."""
+    L = len(work)
+    if num_devices >= L:
+        # largest-remainder apportionment with a 1-device floor
+        ideal = work * num_devices
+        counts = np.maximum(np.floor(ideal).astype(int), 1)
+        while counts.sum() > num_devices:
+            counts[np.argmax(counts)] -= 1
+        order = np.argsort(-(ideal - counts))
+        i = 0
+        while counts.sum() < num_devices:
+            counts[order[i % L]] += 1
+            i += 1
+        out = []
+        start = 0
+        for k in range(L):
+            out.append((start, start + int(counts[k])))
+            start += int(counts[k])
+        return out
+    # fewer devices than levels: group consecutive levels onto one device
+    # each, split points at equal cumulative work
+    mid = np.cumsum(work) - work / 2.0
+    devs = np.minimum((mid * num_devices).astype(int), num_devices - 1)
+    devs = np.maximum.accumulate(devs)  # keep level→device monotone
+    return [(int(d), int(d) + 1) for d in devs]
