@@ -1,0 +1,91 @@
+"""Command-line driver, preserving the reference's flag vocabulary.
+
+Usage:  python -m amg_tpu.utils.cli -problem 27pt -n 32 -solver multadd \
+            -smoother l1_jacobi -tol 1e-8 -num_cycles 100 -print_reshist
+
+Flag names follow the reference drivers (single-dash long names, reference:
+src/SMEM_Main.cpp:120-628, src/DMEM_Main.cpp:161-710).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from amg_tpu.utils.config import ALL_SOLVERS, PROBLEMS, SMOOTHERS, SolverOptions
+from amg_tpu.utils.runner import run_experiment
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="amg_tpu", prefix_chars="-",
+        description="TPU-native async multigrid solver driver",
+    )
+    d = SolverOptions()
+    a = p.add_argument
+    a("-problem", default=d.problem, choices=PROBLEMS)
+    a("-n", type=int, default=d.n)
+    a("-nx", type=int, default=d.nx)
+    a("-ny", type=int, default=d.ny)
+    a("-nz", type=int, default=d.nz)
+    a("-eps", type=float, default=d.eps)
+    a("-difconv_atype", type=int, default=d.difconv_atype)
+    a("-mat_file", dest="matrix_file", default=d.matrix_file)
+    a("-th", dest="strong_threshold", type=float, default=d.strong_threshold)
+    a("-coarsen", dest="coarsen_type", default=d.coarsen_type,
+      choices=("pmis", "hmis"))
+    a("-interp", dest="interp_type", default=d.interp_type,
+      choices=("direct", "ext+i"))
+    a("-Pmax", dest="p_max_elmts", type=int, default=d.p_max_elmts)
+    a("-trunc", dest="trunc_factor", type=float, default=d.trunc_factor)
+    a("-mxl", dest="max_levels", type=int, default=d.max_levels)
+    a("-max_coarse", dest="max_coarse_size", type=int, default=d.max_coarse_size)
+    a("-smooth_weight", type=float, default=None)
+    a("-block_size", type=int, default=d.block_size)
+    a("-seed", type=int, default=d.seed)
+    a("-solver", default=d.solver, choices=ALL_SOLVERS)
+    a("-smoother", default=d.smoother, choices=SMOOTHERS)
+    a("-num_cycles", type=int, default=d.num_cycles)
+    a("-tol", type=float, default=d.tol)
+    a("-num_pre_smooth_sweeps", type=int, default=d.num_pre_smooth_sweeps)
+    a("-num_post_smooth_sweeps", type=int, default=d.num_post_smooth_sweeps)
+    a("-num_fine_smooth_sweeps", type=int, default=d.num_fine_smooth_sweeps)
+    a("-num_coarse_smooth_sweeps", type=int, default=d.num_coarse_smooth_sweeps)
+    a("-num_add_smooth_sweeps", type=int, default=d.num_add_smooth_sweeps)
+    a("-simple_jacobi", action="store_true")
+    a("-multiple_interpolants", dest="one_interpolant", action="store_false")
+    a("-accel", default=d.accel, choices=("none", "cheby", "richardson"))
+    a("-outer_solver", default=d.outer_solver, choices=("none", "pcg"))
+    a("-cheby_power_iters", type=int, default=d.cheby_power_iters)
+    a("-async_type", default=d.async_type, choices=("full", "semi"))
+    a("-read_type", default=d.read_type, choices=("sol", "res"))
+    a("-sim_read_delay", type=int, default=d.sim_read_delay)
+    a("-fire_prob", type=float, default=d.fire_prob)
+    a("-delay_levels", type=int, nargs="*", default=[])
+    a("-delay_prob", type=float, default=d.delay_prob)
+    a("-fail_level", type=int, default=d.fail_level)
+    a("-fail_start", type=int, default=d.fail_start)
+    a("-fail_duration", type=int, default=d.fail_duration)
+    a("-rhs", default=d.rhs, choices=("rand", "ones", "zeros"))
+    a("-init_guess", default=d.init_guess, choices=("rand", "ones", "zeros"))
+    a("-print_reshist", action="store_true")
+    a("-oneline_output", action="store_true")
+    a("-print_level_stats", action="store_true")
+    a("-print_grid_wait", action="store_true")
+    a("-num_devices", type=int, default=d.num_devices)
+    a("-only_setup", action="store_true")
+    a("-num_runs", type=int, default=d.num_runs)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    opts = SolverOptions(**{k: (tuple(v) if isinstance(v, list) else v)
+                            for k, v in vars(args).items()})
+    for _ in range(opts.num_runs):
+        stats = run_experiment(opts)
+        stats.print_report(opts)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,120 @@
+"""Experiment configuration: every semantic knob of the reference drivers.
+
+The reference parses ~120 argv flags across its two mains (reference:
+src/SMEM_Main.cpp:120-628, src/DMEM_Main.cpp:161-710). Here the experiment
+space is a dataclass; `amg_tpu.utils.cli` exposes the same flag names.
+Derived-flag fixups (solver → execution model / residual-compute mode)
+mirror the reference's post-parse logic (src/SMEM_Main.cpp:641-672,
+src/DMEM_Main.cpp:726-745).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# solver taxonomy of the reference (Main.hpp:60-77), native names
+SYNC_SOLVERS = ("mult", "multadd", "afacx", "afacj", "bpx")
+ASYNC_SOLVERS = ("async_multadd", "async_afacx", "async_bpx")
+EXT_SOLVERS = ("explicit_ext_bpx", "implicit_ext_bpx",
+               "async_explicit_ext_bpx", "async_implicit_ext_bpx")
+ALL_SOLVERS = SYNC_SOLVERS + ASYNC_SOLVERS + EXT_SOLVERS
+
+SMOOTHERS = (
+    "jacobi", "l1_jacobi", "hybrid_jgs", "gs",
+    "sym_jacobi", "sym_l1_jacobi",
+)
+
+PROBLEMS = ("5pt", "7pt", "27pt", "difconv", "vardifconv", "file")
+
+
+@dataclass
+class SolverOptions:
+    # problem (reference: -problem, -n, -nx/-ny/-nz, -eps, -difconv_atype)
+    problem: str = "5pt"
+    n: int = 32
+    nx: int = 0
+    ny: int = 0
+    nz: int = 0
+    eps: float = 1.0
+    difconv_atype: int = 0
+    matrix_file: str = ""  # -mat_file
+
+    # setup (reference: -th strong threshold, -interp, -coarsen, -mxl,
+    #        -agg_nl/-Pmax analogues, -smooth_weight, -num_threads→block)
+    strong_threshold: float = 0.25
+    coarsen_type: str = "hmis"
+    interp_type: str = "ext+i"
+    p_max_elmts: int = 4
+    trunc_factor: float = 0.0
+    max_levels: int = 25
+    max_coarse_size: int = 64
+    smooth_weight: Optional[float] = None
+    block_size: int = 128
+    seed: int = 0
+
+    # solver (reference: -solver, -smoother, -num_cycles, -tol, -sweeps)
+    solver: str = "mult"
+    smoother: str = "l1_jacobi"
+    num_cycles: int = 200
+    tol: float = 1e-8
+    num_pre_smooth_sweeps: int = 1
+    num_post_smooth_sweeps: int = 1
+    num_fine_smooth_sweeps: int = 2
+    num_coarse_smooth_sweeps: int = 2
+    num_add_smooth_sweeps: int = 1
+    simple_jacobi: bool = False  # -simple_jacobi
+    one_interpolant: bool = True  # smoothed-transfer multadd chains
+
+    # acceleration / outer (reference: -cheby, -richard, -outer_solver pcg)
+    accel: str = "none"  # none | cheby | richardson
+    outer_solver: str = "none"  # none | pcg
+    cheby_power_iters: int = 20
+
+    # async execution (reference: -sim_read_delay, -sim_grid_wait, async/semi)
+    async_type: str = "full"  # full | semi
+    read_type: str = "sol"  # sol | res
+    sim_read_delay: int = 4
+    fire_prob: float = 0.5
+
+    # fault / straggler injection (reference: -delay_*, -fail_one)
+    delay_levels: Tuple[int, ...] = ()
+    delay_prob: float = 0.5
+    fail_level: int = -1
+    fail_start: int = 0
+    fail_duration: int = 0
+
+    # rhs / init guess (reference: -rhs_* / -init_guess_*)
+    rhs: str = "rand"  # rand | ones | zeros
+    init_guess: str = "zeros"
+
+    # output (reference: -print_reshist, -oneline_output, -print_level_stats,
+    #         -print_grid_wait)
+    print_reshist: bool = False
+    oneline_output: bool = False
+    print_level_stats: bool = False
+    print_grid_wait: bool = False
+
+    # execution target
+    num_devices: int = 1  # >1: row-shard over a device mesh
+    only_setup: bool = False  # reference -only_setup
+    num_runs: int = 1
+
+    def fixup(self) -> "SolverOptions":
+        """Derived-flag rules, as in the reference's post-parse fixups."""
+        if self.solver in ("bpx",) + EXT_SOLVERS and self.accel == "none":
+            # BPX-family additive operators need acceleration or PCG
+            if self.outer_solver == "none":
+                self.accel = "cheby"
+        if self.solver in ASYNC_SOLVERS and self.solver.endswith("bpx"):
+            self.read_type = "res"
+        return self
+
+    def is_async(self) -> bool:
+        return self.solver.startswith("async_")
+
+    def grid_dims(self):
+        nx = self.nx or self.n
+        ny = self.ny or self.n
+        nz = self.nz or self.n
+        return nx, ny, nz

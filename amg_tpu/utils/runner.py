@@ -1,0 +1,195 @@
+"""Experiment orchestrator: options → problem → setup → solve → stats.
+
+The native equivalent of the reference's driver mains (reference:
+src/SMEM_Main.cpp:13-767, src/DMEM_Main.cpp:12-948): build the problem,
+run setup, dispatch to the configured solver family, aggregate stats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from amg_tpu.utils.config import SolverOptions
+from amg_tpu.utils.stats import SolveStats, Timer
+
+
+def build_problem(opts: SolverOptions):
+    from amg_tpu.problems import (
+        difconv_3d,
+        laplacian_2d_5pt,
+        laplacian_3d_7pt,
+        laplacian_3d_27pt,
+        vardifconv_3d,
+    )
+
+    nx, ny, nz = opts.grid_dims()
+    if opts.problem == "5pt":
+        return laplacian_2d_5pt(nx, ny)
+    if opts.problem == "7pt":
+        return laplacian_3d_7pt(nx, ny, nz)
+    if opts.problem == "27pt":
+        return laplacian_3d_27pt(nx, ny, nz)
+    if opts.problem == "difconv":
+        return difconv_3d(nx, ny, nz, eps=opts.eps, atype=opts.difconv_atype)
+    if opts.problem == "vardifconv":
+        return vardifconv_3d(nx, ny, nz, eps=opts.eps, seed=opts.seed)
+    if opts.problem == "file":
+        from amg_tpu.problems.io import problem_from_file
+
+        return problem_from_file(opts.matrix_file)
+    raise ValueError(f"unknown problem {opts.problem}")
+
+
+def _make_vectors(opts, n, dtype):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(opts.seed)
+
+    def make(kind):
+        if kind == "rand":
+            return jnp.asarray(rng.random(n), dtype=dtype)
+        if kind == "ones":
+            return jnp.ones(n, dtype=dtype)
+        return jnp.zeros(n, dtype=dtype)
+
+    return make(opts.rhs), make(opts.init_guess)
+
+
+def run_experiment(opts: SolverOptions) -> SolveStats:
+    import jax
+    import jax.numpy as jnp
+
+    from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+    from amg_tpu.smooth import SmootherType
+    from amg_tpu.solve import CycleConfig, CycleType, solve
+    from amg_tpu.solve.async_sim import AsyncConfig, async_solve
+    from amg_tpu.solve.driver import cheby_setup
+    from amg_tpu.utils.config import EXT_SOLVERS
+
+    opts.fixup()
+    stats = SolveStats(
+        problem=opts.problem, solver=opts.solver, smoother=opts.smoother
+    )
+    timer = Timer()
+    prob = build_problem(opts)
+    smoother = SmootherType(opts.smoother)
+    params = HierarchyParams(
+        strong_threshold=opts.strong_threshold,
+        coarsen_type=opts.coarsen_type,
+        interp_type=opts.interp_type,
+        trunc_factor=opts.trunc_factor,
+        p_max_elmts=opts.p_max_elmts,
+        max_levels=opts.max_levels,
+        max_coarse_size=opts.max_coarse_size,
+        seed=opts.seed,
+        smoother=smoother,
+        smooth_weight=opts.smooth_weight,
+        block_size=opts.block_size,
+        keep_stencil_fine=(opts.num_devices <= 1),
+    )
+    mesh = None
+    if opts.num_devices > 1:
+        from amg_tpu.parallel import make_row_mesh
+        from amg_tpu.parallel.dist import (
+            build_dist_hierarchy,
+            pad_vector,
+            unpad_vector,
+        )
+
+        from amg_tpu.setup.hierarchy import build_host_hierarchy
+
+        hh = build_host_hierarchy(prob.A, params)
+        mesh = make_row_mesh(opts.num_devices)
+        hier, pad_info = build_dist_hierarchy(hh, params, mesh)
+    else:
+        hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+    hstats = hh.stats()
+    stats.n, stats.nnz = prob.n, prob.A.nnz
+    stats.num_levels = hstats["num_levels"]
+    stats.operator_complexity = hstats["operator_complexity"]
+    stats.level_n, stats.level_nnz = hstats["n"], hstats["nnz"]
+    stats.setup_wtime = timer.lap()
+    if opts.only_setup:
+        return stats
+
+    dtype = params.dtype
+    b, x0 = _make_vectors(opts, prob.n, dtype)
+    if mesh is not None:
+        b = pad_vector(b, pad_info, mesh)
+        x0 = pad_vector(x0, pad_info, mesh)
+
+    base = opts.solver.removeprefix("async_")
+    cfg = CycleConfig(
+        cycle=CycleType(base if base in ("mult", "multadd", "afacx", "afacj", "bpx") else "bpx"),
+        smoother=smoother,
+        num_pre_sweeps=opts.num_pre_smooth_sweeps,
+        num_post_sweeps=opts.num_post_smooth_sweeps,
+        num_fine_sweeps=opts.num_fine_smooth_sweeps,
+        num_coarse_sweeps=opts.num_coarse_smooth_sweeps,
+        num_add_sweeps=opts.num_add_smooth_sweeps,
+        use_smoothed_transfers=(base == "multadd" and opts.one_interpolant),
+        simple_add_smoother=opts.simple_jacobi,
+    )
+
+    if opts.solver in EXT_SOLVERS:
+        from amg_tpu.solve.accel import estimate_cycle_eigs
+        from amg_tpu.solve.extended import (
+            build_extended_system,
+            ext_matvec,
+            ext_solve,
+        )
+
+        explicit = opts.solver.endswith("explicit_ext_bpx") or opts.solver == "explicit_ext_bpx"
+        explicit = "explicit" in opts.solver and "implicit" not in opts.solver
+        ext = build_extended_system(hh, params, explicit=explicit)
+        A0 = hier.levels[0].A
+        coeffs = estimate_cycle_eigs(
+            lambda u: ext.inv_wdiag * ext_matvec(ext, A0, u),
+            ext.offsets[-1], dtype,
+            num_iters=opts.cheby_power_iters, range_start=True,
+        )
+        res = ext_solve(
+            hier, ext, b, x0, tol=opts.tol, max_cycles=opts.num_cycles,
+            cheby_coeffs=coeffs,
+            async_fire_prob=(opts.fire_prob if opts.is_async() else 1.0),
+            sim_read_delay=(opts.sim_read_delay if opts.is_async() else 0),
+            key=jax.random.PRNGKey(opts.seed),
+        )
+        gw = None
+    elif opts.is_async():
+        acfg = AsyncConfig(
+            read_type=opts.read_type,
+            async_type=opts.async_type,
+            sim_read_delay=opts.sim_read_delay,
+            fire_prob=opts.fire_prob,
+            delay_levels=opts.delay_levels,
+            delay_prob=opts.delay_prob,
+            fail_level=opts.fail_level,
+            fail_start=opts.fail_start,
+            fail_duration=opts.fail_duration,
+        )
+        res = async_solve(
+            hier, cfg, acfg, b, x0,
+            key=jax.random.PRNGKey(opts.seed),
+            tol=opts.tol, max_cycles=opts.num_cycles,
+        )
+        gw = res.grid_wait.summary()
+    else:
+        coeffs = None
+        accel = None if opts.accel == "none" else opts.accel
+        if accel:
+            coeffs = cheby_setup(hier, cfg, num_iters=opts.cheby_power_iters)
+        res = solve(
+            hier, cfg, b, x0, tol=opts.tol, max_cycles=opts.num_cycles,
+            accel=accel, cheby_coeffs=coeffs,
+            outer=None if opts.outer_solver == "none" else opts.outer_solver,
+        )
+        gw = None
+    jax.block_until_ready(res.x)
+    stats.solve_wtime = timer.lap()
+    stats.cycles = int(res.iters)
+    stats.rel_resnorm = float(res.rel_resnorm)
+    h = np.asarray(res.history)
+    stats.history = h[~np.isnan(h)].tolist()
+    stats.grid_wait = gw
+    return stats
