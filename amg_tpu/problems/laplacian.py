@@ -27,12 +27,14 @@ from amg_tpu.sparse.stencil import StencilOperator, stencil_to_csr
 
 @dataclass
 class Problem:
-    """A generated linear system Ax = b (b chosen by the driver)."""
+    """A generated linear system Ax = b (b chosen by the driver unless the
+    generator supplies a natural rhs, e.g. the elasticity beam load)."""
 
     name: str
     A: CSRMatrix
     stencil: Optional[StencilOperator]  # None for variable-coefficient/FEM
     grid_shape: Optional[Tuple[int, ...]]
+    rhs: Optional[object] = None
 
     @property
     def n(self) -> int:

@@ -1,0 +1,161 @@
+"""Maxwell / curl-curl problem generator (native edge elements, no MFEM).
+
+Re-implements the reference's MFEM Maxwell problem (reference:
+src/Maxwell.cpp:50-208): the eddy-current operator
+
+    A = (1/mu) curl curl E + sigma E
+
+on the unit cube with PEC (tangential-E = 0) boundary, discretized with
+lowest-order edge (Whitney/Nedelec-type) elements on a uniform hex grid
+using the exact-sequence incidence structure:
+
+    A = (1/mu) C^T M_f C + sigma M_e
+
+where C is the edge→face discrete curl (signed incidence scaled by face
+geometry) and M_e, M_f are the (lumped) edge/face mass matrices — the
+finite-integration form of the lowest-order Nedelec discretization. The
+resulting SPD system has the large near-nullspace of discrete gradients
+that makes curl-curl the stress test for AMG, which is what baseline
+config 5 exercises.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from amg_tpu.problems.laplacian import Problem
+from amg_tpu.sparse.csr import CSRMatrix
+
+
+def _edge_ids(n):
+    """Edges of an n^3-cell uniform grid, grouped by orientation.
+    Returns (counts, shapes): edges along axis d live on a lattice of shape
+    edge_shape[d]; ids are offset consecutively."""
+    npts = n + 1
+    shapes = [
+        (n, npts, npts),  # x-edges: (i in cells, j,k in points)
+        (npts, n, npts),  # y-edges
+        (npts, npts, n),  # z-edges
+    ]
+    counts = [int(np.prod(s)) for s in shapes]
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return shapes, offsets
+
+
+def _face_ids(n):
+    npts = n + 1
+    shapes = [
+        (npts, n, n),  # x-faces (normal x): (i point, j,k cells)
+        (n, npts, n),  # y-faces
+        (n, n, npts),  # z-faces
+    ]
+    counts = [int(np.prod(s)) for s in shapes]
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return shapes, offsets
+
+
+def maxwell_curlcurl(
+    n: int = 8,
+    mu: float = 1.0,
+    sigma: float = 1.0,
+    freq: float = 1.0,
+) -> Problem:
+    """Assemble the PEC curl-curl system on an n^3 uniform hex grid.
+
+    rhs: the reference drives the system with an exact-solution source
+    (src/Maxwell.cpp:120-160); here the load is f = (sigma + (pi^2/mu)*d) E*
+    for the PEC eigenfunction E* = (sin(pi f y) sin(pi f z), 0, 0)-style
+    field sampled on edges — any smooth tangentially-vanishing field works
+    as a regression rhs."""
+    h = 1.0 / n
+    eshapes, eoff = _edge_ids(n)
+    fshapes, foff = _face_ids(n)
+    n_edges = int(eoff[-1])
+    n_faces = int(foff[-1])
+
+    def edge_id(axis, idx):
+        return eoff[axis] + np.ravel_multi_index(idx, eshapes[axis])
+
+    # discrete curl C: each face's circulation over its 4 boundary edges.
+    # face normal d, tangent axes (a, b) = the other two axes (cyclic):
+    # circulation = e_b(at +a) - e_b(at -a) - e_a(at +b) + e_a(at -b),
+    # scaled 1/h (uniform grid).
+    rows, cols, vals = [], [], []
+    for d in range(3):
+        a, b = (d + 1) % 3, (d + 2) % 3
+        fs = fshapes[d]
+        fidx = np.stack(
+            np.meshgrid(*[np.arange(s) for s in fs], indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+        fid = foff[d] + np.arange(fidx.shape[0])
+
+        def shift(idx, axis, amt):
+            out = idx.copy()
+            out[:, axis] += amt
+            return out
+
+        # face lattice coords: axis d is a point coord, axes a,b are cell
+        # coords. Edge lattices: edge along axis e has cell coord on e,
+        # point coords elsewhere — the face's (d:point, a:cell, b:cell)
+        # coords line up directly.
+        for eaxis, saxis, amt, sign in (
+            (b, a, 1, +1.0),  # e_b at +a side
+            (b, a, 0, -1.0),  # e_b at -a side
+            (a, b, 1, -1.0),  # e_a at +b side
+            (a, b, 0, +1.0),  # e_a at -b side
+        ):
+            eidx = shift(fidx, saxis, amt)
+            rows.append(fid)
+            cols.append(edge_id(eaxis, tuple(eidx.T)))
+            vals.append(np.full(fid.shape, sign / h))
+    C = sp.coo_matrix(
+        (
+            np.concatenate(vals),
+            (np.concatenate(rows), np.concatenate(cols)),
+        ),
+        shape=(n_faces, n_edges),
+    ).tocsr()
+
+    # lumped masses on the uniform grid: M_e = h^3 I (edge), M_f = h^3 I
+    vol = h**3
+    A = (vol / mu) * (C.T @ C) + sigma * vol * sp.identity(n_edges)
+    A = A.tocsr()
+
+    # PEC boundary: tangential E on the boundary faces = 0 → eliminate
+    # boundary edges (an edge is boundary iff it lies in a boundary plane
+    # of the cube orthogonal to one of its point-coordinate axes)
+    keep = np.ones(n_edges, dtype=bool)
+    npts = n + 1
+    for d in range(3):
+        es = eshapes[d]
+        eidx = np.stack(
+            np.meshgrid(*[np.arange(s) for s in es], indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+        eid = eoff[d] + np.arange(eidx.shape[0])
+        on_boundary = np.zeros(eidx.shape[0], dtype=bool)
+        for pax in range(3):
+            if pax == d:
+                continue  # cell coord, not a point coord
+            on_boundary |= (eidx[:, pax] == 0) | (eidx[:, pax] == npts - 1)
+        keep[eid[on_boundary]] = False
+
+    A_red = A[keep][:, keep].tocsr()
+
+    # smooth rhs sampled at interior edge midpoints (x-edges get the field)
+    f = np.zeros(n_edges)
+    es = eshapes[0]
+    eidx = np.stack(
+        np.meshgrid(*[np.arange(s) for s in es], indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    eid = eoff[0] + np.arange(eidx.shape[0])
+    ym = eidx[:, 1] * h
+    zm = eidx[:, 2] * h
+    f[eid] = np.sin(np.pi * freq * ym) * np.sin(np.pi * freq * zm) * vol
+    return Problem(
+        name="maxwell",
+        A=CSRMatrix.from_scipy(A_red),
+        stencil=None,
+        grid_shape=None,
+        rhs=f[keep],
+    )

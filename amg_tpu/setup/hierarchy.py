@@ -55,6 +55,7 @@ class HierarchyParams:
     max_levels: int = 25
     max_coarse_size: int = 64
     seed: int = 0
+    num_functions: int = 1  # >1: unknown-based systems AMG (elasticity)
     smoother: SmootherType = SmootherType.L1_JACOBI
     smooth_weight: Optional[float] = None  # None → 1/rho(S^-1 A) per level
     block_size: int = 128
@@ -127,6 +128,9 @@ def build_host_hierarchy(A: CSRMatrix, params: HierarchyParams) -> HostHierarchy
         "ext+i": extended_i_interpolation,
     }[params.interp_type]
     level_A = A
+    # unknown-based systems AMG: track each dof's function (component),
+    # interleaved ordering on the fine grid, restricted through C/F splits
+    func = np.arange(A.n_rows) % max(params.num_functions, 1)
     for lvl in range(params.max_levels):
         hl = HostLevel(A=level_A)
         if params.smooth_weight is not None:
@@ -146,7 +150,21 @@ def build_host_hierarchy(A: CSRMatrix, params: HierarchyParams) -> HostHierarchy
         hh.levels.append(hl)
         if level_A.n_rows <= params.max_coarse_size or lvl == params.max_levels - 1:
             break
-        S = strength_graph(level_A, params.strong_threshold)
+        if params.num_functions > 1:
+            S = strength_graph(
+                level_A, params.strong_threshold, num_functions=1
+            )
+            # filter cross-function couplings by the tracked function vector
+            # (component identity is positional only on the finest grid)
+            S = S.tocoo()
+            same = func[S.row] == func[S.col]
+            import scipy.sparse as _sp
+
+            S = _sp.coo_matrix(
+                (S.data[same], (S.row[same], S.col[same])), shape=S.shape
+            ).tocsr()
+        else:
+            S = strength_graph(level_A, params.strong_threshold)
         cf = coarsen(S, seed=params.seed)
         nc = int((cf == C_PT).sum())
         if nc == 0 or nc == level_A.n_rows:
@@ -164,6 +182,7 @@ def build_host_hierarchy(A: CSRMatrix, params: HierarchyParams) -> HostHierarchy
             )
             hl.P_s, hl.R_s = smoothed_transfer(level_A, P, scale, hl.weight)
         level_A = galerkin_product(R, level_A, P)
+        func = func[cf == C_PT]
     return hh
 
 

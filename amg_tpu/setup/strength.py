@@ -17,7 +17,14 @@ import numpy as np
 import scipy.sparse as sp
 
 
-def strength_graph(A_csr, theta: float = 0.25) -> sp.csr_matrix:
+def strength_graph(
+    A_csr, theta: float = 0.25, num_functions: int = 1
+) -> sp.csr_matrix:
+    """num_functions > 1 enables unknown-based systems treatment: only
+    same-function (same dof component, interleaved ordering) couplings can be
+    strong — hypre's HYPRE_BoomerAMGSetNumFunctions behavior, required for
+    elasticity-type systems (reference builds vector-valued MFEM systems,
+    src/Elasticity.cpp:7-261)."""
     a = A_csr.to_scipy().tocsr()
     n = a.shape[0]
     indptr, indices, data = a.indptr, a.indices, a.data
@@ -28,6 +35,8 @@ def strength_graph(A_csr, theta: float = 0.25) -> sp.csr_matrix:
     row_ids = np.repeat(np.arange(n), np.diff(indptr))
     vals = data * sign[row_ids]
     offdiag = indices != row_ids
+    if num_functions > 1:
+        offdiag &= (indices % num_functions) == (row_ids % num_functions)
     conn = np.where(offdiag, -vals, -np.inf)  # candidate strengths
     # per-row max of connection strength
     maxconn = np.full(n, -np.inf)

@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-eps", type=float, default=d.eps)
     a("-difconv_atype", type=int, default=d.difconv_atype)
     a("-mat_file", dest="matrix_file", default=d.matrix_file)
+    a("-num_functions", type=int, default=d.num_functions)
+    a("-sigma", type=float, default=d.sigma)
     a("-th", dest="strong_threshold", type=float, default=d.strong_threshold)
     a("-coarsen", dest="coarsen_type", default=d.coarsen_type,
       choices=("pmis", "hmis"))

@@ -25,7 +25,7 @@ SMOOTHERS = (
     "sym_jacobi", "sym_l1_jacobi",
 )
 
-PROBLEMS = ("5pt", "7pt", "27pt", "difconv", "vardifconv", "file")
+PROBLEMS = ("5pt", "7pt", "27pt", "difconv", "vardifconv", "elasticity", "maxwell", "file")
 
 
 @dataclass
@@ -39,6 +39,8 @@ class SolverOptions:
     eps: float = 1.0
     difconv_atype: int = 0
     matrix_file: str = ""  # -mat_file
+    num_functions: int = 0  # 0 = auto (problem-dependent); >0 overrides
+    sigma: float = 1.0  # maxwell conductivity
 
     # setup (reference: -th strong threshold, -interp, -coarsen, -mxl,
     #        -agg_nl/-Pmax analogues, -smooth_weight, -num_threads→block)

@@ -33,6 +33,14 @@ def build_problem(opts: SolverOptions):
         return difconv_3d(nx, ny, nz, eps=opts.eps, atype=opts.difconv_atype)
     if opts.problem == "vardifconv":
         return vardifconv_3d(nx, ny, nz, eps=opts.eps, seed=opts.seed)
+    if opts.problem == "elasticity":
+        from amg_tpu.problems.elasticity import elasticity_beam
+
+        return elasticity_beam(nx=nx, ny=ny, nz=(nz if opts.nz else 0))
+    if opts.problem == "maxwell":
+        from amg_tpu.problems.maxwell import maxwell_curlcurl
+
+        return maxwell_curlcurl(n=nx, sigma=opts.sigma)
     if opts.problem == "file":
         from amg_tpu.problems.io import problem_from_file
 
@@ -73,8 +81,15 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
     timer = Timer()
     prob = build_problem(opts)
     smoother = SmootherType(opts.smoother)
+    if opts.num_functions > 0:
+        num_functions = opts.num_functions
+    elif opts.problem == "elasticity":
+        num_functions = 3 if opts.nz else 2
+    else:
+        num_functions = 1
     params = HierarchyParams(
         strong_threshold=opts.strong_threshold,
+        num_functions=num_functions,
         coarsen_type=opts.coarsen_type,
         interp_type=opts.interp_type,
         trunc_factor=opts.trunc_factor,
@@ -114,6 +129,9 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
 
     dtype = params.dtype
     b, x0 = _make_vectors(opts, prob.n, dtype)
+    if prob.rhs is not None and opts.rhs == "rand":
+        # generators with a natural load (elasticity beam, maxwell source)
+        b = jnp.asarray(np.asarray(prob.rhs) / np.linalg.norm(prob.rhs), dtype=dtype)
     if mesh is not None:
         b = pad_vector(b, pad_info, mesh)
         x0 = pad_vector(x0, pad_info, mesh)
