@@ -152,6 +152,9 @@ def build_dist_hierarchy(hh, params, mesh: Mesh):
                 R=cv(hl.R, nc_pad, nf_pad) if hl.R is not None else None,
                 P_s=cv(hl.P_s, nf_pad, nc_pad),
                 R_s=cv(hl.R_s, nc_pad, nf_pad) if hl.R_s is not None else None,
+                R_inj=cv(hl.R_inj, nc_pad, nf_pad)
+                if hl.R_inj is not None
+                else None,
                 sm=sm,
             )
         )
@@ -196,6 +199,7 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh) -> Hierarchy:
                 R=_shard_ell(lv.R, mesh),
                 P_s=_shard_ell(lv.P_s, mesh),
                 R_s=_shard_ell(lv.R_s, mesh),
+                R_inj=_shard_ell(lv.R_inj, mesh),
                 sm=_shard_smoother(lv.sm, mesh),
             )
         )

@@ -73,6 +73,7 @@ class Level(NamedTuple):
     R: Optional[ELLMatrix]
     P_s: Optional[ELLMatrix]  # smoothed prolongation (multadd)
     R_s: Optional[ELLMatrix]
+    R_inj: Optional[ELLMatrix]  # injection restriction (AFACj)
     sm: SmootherData
 
 
@@ -95,6 +96,7 @@ class HostLevel:
     R: Optional[CSRMatrix] = None
     P_s: Optional[CSRMatrix] = None
     R_s: Optional[CSRMatrix] = None
+    R_inj: Optional[CSRMatrix] = None  # injection C-point restriction
     cf: Optional[np.ndarray] = None
     weight: float = 1.0
 
@@ -173,6 +175,19 @@ def build_host_hierarchy(A: CSRMatrix, params: HierarchyParams) -> HostHierarchy
         P = truncate_interpolation(P, params.trunc_factor, params.p_max_elmts)
         R = P.transpose()
         hl.P, hl.R, hl.cf = P, R, cf
+        # injection interpolant: identity on C-points (the AFACj ideal/
+        # injection interpolants the reference's hypre patch adds as
+        # P_array_afacj — reference: src/DMEM_Setup.cpp:197-199,
+        # src/DMEM_Mult.cpp:475-476)
+        import scipy.sparse as _sp2
+
+        crows = np.flatnonzero(cf == C_PT)
+        hl.R_inj = CSRMatrix.from_scipy(
+            _sp2.coo_matrix(
+                (np.ones(nc), (np.arange(nc), crows)),
+                shape=(nc, level_A.n_rows),
+            ).tocsr()
+        )
         if params.build_smoothed_transfers:
             scale = (
                 level_A.l1_row_norms()
@@ -217,6 +232,7 @@ def device_hierarchy(
                 R=to_ell(hl.R),
                 P_s=to_ell(hl.P_s),
                 R_s=to_ell(hl.R_s),
+                R_inj=to_ell(hl.R_inj),
                 sm=sm,
             )
         )

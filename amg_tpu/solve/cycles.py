@@ -167,9 +167,14 @@ def additive_correction(
     if cyc in (CycleType.AFACX, CycleType.AFACJ):
         # smooth at level k+1, prolong, re-residualize at level k, smooth
         # (reference: SMEM_Sync_Parfor_AFACx_Vcycle,
-        #  src/SMEM_Sync_AMG.cpp:296-406)
+        #  src/SMEM_Sync_AMG.cpp:296-406). AFACj restricts the final hop
+        # with the injection interpolant (the patch's P_array_afacj,
+        # reference: src/DMEM_Mult.cpp:453-612)
         rk = _restrict_chain(hier, cfg, r, k)
-        rk1 = hier.levels[k].R @ rk
+        if cyc == CycleType.AFACJ and hier.levels[k].R_inj is not None:
+            rk1 = hier.levels[k].R_inj @ rk
+        else:
+            rk1 = hier.levels[k].R @ rk
         lvc = hier.levels[k + 1]
         if k + 1 == L - 1:
             u_coarse = coarse_solve(hier, rk1)
