@@ -60,6 +60,25 @@ def from_padded(p: jnp.ndarray, grid_shape) -> jnp.ndarray:
     return p[1 : Z + 1, 1 : Y + 1, 1 : X + 1].reshape(Z * Y * X)
 
 
+def _uniform_box_weights(taps):
+    """(w_off, w_center) if taps form the full 3x3x3 box with one uniform
+    off-center weight (the 27-pt Laplacian shape); else None."""
+    if len(taps) != 27:
+        return None
+    offs = {(dz, dy, dx): w for dz, dy, dx, w in taps}
+    if len(offs) != 27 or (0, 0, 0) not in offs:
+        return None
+    w_off = None
+    for key, w in offs.items():
+        if key == (0, 0, 0):
+            continue
+        if w_off is None:
+            w_off = w
+        elif w != w_off:
+            return None
+    return w_off, offs[(0, 0, 0)]
+
+
 def _sweep_kernel(
     u_hbm, b_ref, out_ref, scratch, acc_ref, sem,
     *, taps, dims, T, G, alpha,
@@ -105,44 +124,64 @@ def _sweep_kernel(
 
     mid.wait()
 
-    # group taps by (dz, dy): each shifted slab is built once and its
-    # x-rolls reuse it. Partial sums go through the acc_ref VMEM scratch so
-    # at most one slab-sized temporary is live at a time — Mosaic's scoped-
-    # VMEM accounting sums ALL live expression temporaries, and 27 slab
-    # temporaries blow the 16MB budget.
+    # Taps on the FLAT 2-D view: scratch flattened to ((T+2)*Yr, Xr) makes
+    # every (dz, dy) shift a single row-offset read — shift s = (1+dz)*Yr+dy,
+    # rows [s, s+T*Yr). Row-crossing artifacts land exclusively in zero
+    # shell rows (the y shell is interior to every plane), so no edge fixup
+    # is needed. x taps are lane rolls wrapping through the x shell.
+    # Partial sums go through acc_ref (VMEM) so at most ~one slab-sized
+    # temporary is live — Mosaic's scoped-VMEM accounting sums all live
+    # temporaries and 27 of them blow the 16MB budget.
     Z, Y, X = dims
-    groups = {}
-    for dz, dy, dx, w in taps:
-        groups.setdefault((dz, dy), []).append((dx, w))
 
-    first = True
-    for (dz, dy), xs in groups.items():
-        block = scratch[1 + dz : 1 + dz + T, :, :]
-        if dy == -1:
-            shifted = jnp.concatenate(
-                [jnp.zeros((T, 1, Xr), block.dtype), block[:, : Yr - 1, :]],
-                axis=1,
-            )
-        elif dy == 1:
-            shifted = jnp.concatenate(
-                [block[:, 1:, :], jnp.zeros((T, 1, Xr), block.dtype)], axis=1
-            )
-        else:
+    def roll_y(a, dy):
+        # ±1 sublane roll within each plane: the wrapped row is the plane's
+        # own y shell (zeros) → exactly Dirichlet
+        return pltpu.roll(a, jnp.int32((-dy) % Yr), 1)
+
+    def roll_x(a, dx):
+        # circular lane roll: the wrapped column lands in the zero padding
+        # shell → contributes zeros (Dirichlet)
+        return pltpu.roll(a, jnp.int32((-dx) % Xr), 2)
+
+    box = _uniform_box_weights(taps)
+    if box is not None:
+        # separable fast path for the full 27-pt box with uniform off-center
+        # weight: A u = (w_c - w_off) u + w_off * boxsum(u), and boxsum
+        # factors into three 3-term axis sums — 8 slab adds instead of 27
+        # tap temporaries (which blow Mosaic's scoped-VMEM accounting)
+        w_off, w_c = box
+        t = (
+            scratch[0:T, :, :]
+            + scratch[1 : T + 1, :, :]
+            + scratch[2 : T + 2, :, :]
+        )
+        acc_ref[...] = t
+        t = acc_ref[...]
+        t = t + roll_y(t, -1) + roll_y(t, 1)
+        acc_ref[...] = t
+        t = acc_ref[...]
+        t = t + roll_x(t, -1) + roll_x(t, 1)
+        acc_ref[...] = w_off * t + (w_c - w_off) * scratch[1 : T + 1, :, :]
+    else:
+        groups = {}
+        for dz, dy, dx, w in taps:
+            groups.setdefault((dz, dy), []).append((dx, w))
+        first = True
+        for (dz, dy), xs in groups.items():
+            block = scratch[1 + dz : 1 + dz + T, :, :]  # static z slice
+            if dy != 0:
+                block = roll_y(block, dy)
             shifted = block
-        partial = None
-        for dx, w in xs:
-            if dx == 0:
-                term = w * shifted
+            partial = None
+            for dx, w in xs:
+                term = w * (shifted if dx == 0 else roll_x(shifted, dx))
+                partial = term if partial is None else partial + term
+            if first:
+                acc_ref[...] = partial
+                first = False
             else:
-                # circular lane roll: the wrapped column lands in the zero
-                # padding shell → contributes zeros (Dirichlet)
-                term = w * pltpu.roll(shifted, jnp.int32((-dx) % Xr), 2)
-            partial = term if partial is None else partial + term
-        if first:
-            acc_ref[...] = partial
-            first = False
-        else:
-            acc_ref[...] = acc_ref[...] + partial
+                acc_ref[...] = acc_ref[...] + partial
 
     acc = acc_ref[...]
     if alpha == 0.0:

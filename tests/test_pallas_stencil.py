@@ -1,0 +1,80 @@
+"""Pallas fused stencil kernel: semantics tests in interpret mode on CPU.
+
+(On-device performance and compilation are exercised by bench.py on the real
+chip; these tests pin the kernel's numerics against the assembled matrix.)
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+import amg_tpu.ops.pallas_stencil as ps
+from amg_tpu.problems import laplacian_3d_7pt, laplacian_3d_27pt, difconv_3d
+from amg_tpu.sparse.stencil import StencilOperator, stencil_to_csr
+
+
+def run_interp(fn, *args, **kw):
+    with pltpu.force_tpu_interpret_mode():
+        return fn(*args, **kw)
+
+
+CASES = [
+    ("27pt-box", lambda: laplacian_3d_27pt(8).stencil),  # separable fast path
+    ("7pt", lambda: laplacian_3d_7pt(6, 7, 5, cx=1.0, cy=2.0, cz=0.5).stencil),
+    ("difconv", lambda: difconv_3d(6, atype=2, ax=-1.5).stencil),
+]
+
+
+class TestPallasStencil:
+    @pytest.mark.parametrize("name,gen", CASES, ids=[c[0] for c in CASES])
+    def test_spmv_matches_assembled(self, name, gen):
+        st = gen()
+        n = int(np.prod(st.grid_shape))
+        x = jnp.asarray(np.random.default_rng(0).random(n))
+        y_ref = stencil_to_csr(st) @ np.asarray(x)
+        y_pal = run_interp(ps.stencil_matvec_pallas, x, st)
+        np.testing.assert_allclose(np.asarray(y_pal), y_ref, atol=1e-12)
+
+    def test_jacobi_sweep_fused(self):
+        st = laplacian_3d_27pt(8).stencil
+        n = 512
+        rng = np.random.default_rng(1)
+        u = jnp.asarray(rng.random(n))
+        b = jnp.asarray(rng.random(n))
+        alpha = 2.0 / 3.0 / 52.0
+        y_ref = np.asarray(u) + alpha * (
+            np.asarray(b) - stencil_to_csr(st) @ np.asarray(u)
+        )
+        u_pal = run_interp(ps.stencil_jacobi_sweep, u, b, st, alpha)
+        np.testing.assert_allclose(np.asarray(u_pal), y_ref, atol=1e-12)
+
+    def test_padded_roundtrip(self):
+        gs = (5, 6, 7)
+        x = jnp.asarray(np.random.default_rng(2).random(int(np.prod(gs))))
+        p = ps.to_padded(x, gs)
+        assert p.shape == ps.padded_shape(gs)
+        np.testing.assert_allclose(
+            np.asarray(ps.from_padded(p, gs)), np.asarray(x)
+        )
+        # shell is zero
+        assert float(jnp.sum(jnp.abs(p))) == pytest.approx(
+            float(jnp.sum(jnp.abs(x))), rel=1e-12
+        )
+
+    def test_uniform_box_detection(self):
+        from amg_tpu.ops.pallas_stencil import _uniform_box_weights
+
+        st = laplacian_3d_27pt(4).stencil
+        taps = tuple(
+            (int(o[0]), int(o[1]), int(o[2]), float(w))
+            for o, w in zip(st.offsets, np.asarray(st.weights))
+        )
+        assert _uniform_box_weights(taps) == (-1.0, 26.0)
+        st7 = laplacian_3d_7pt(4).stencil
+        taps7 = tuple(
+            (int(o[0]), int(o[1]), int(o[2]), float(w))
+            for o, w in zip(st7.offsets, np.asarray(st7.weights))
+        )
+        assert _uniform_box_weights(taps7) is None
