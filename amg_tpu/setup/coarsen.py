@@ -139,4 +139,16 @@ def hmis(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     return cf
 
 
-COARSENING = {"pmis": pmis, "hmis": hmis}
+def pmis_native(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
+    """PMIS via the native C++ backend (native/amg_setup.cpp) — same MIS
+    properties, its own deterministic tie-breaking randoms. Falls back to
+    the numpy implementation when the library is unavailable."""
+    from amg_tpu import native_backend as nb
+
+    if not nb.available():
+        return pmis(S, seed)
+    s = S.tocsr()
+    return nb.pmis(s.indptr, s.indices, s.shape[0], seed).astype(np.int8)
+
+
+COARSENING = {"pmis": pmis, "hmis": hmis, "pmis_native": pmis_native}

@@ -16,8 +16,9 @@ from amg_tpu.sparse.csr import CSRMatrix
 
 
 def galerkin_product(R: CSRMatrix, A: CSRMatrix, P: CSRMatrix) -> CSRMatrix:
-    """A_c = R A P, with tiny entries dropped to keep ELL widths bounded."""
-    ac = (R.to_scipy() @ A.to_scipy() @ P.to_scipy()).tocsr()
+    """A_c = R A P, with tiny entries dropped to keep ELL widths bounded.
+    Routes through the native SpGEMM backend when built (CSRMatrix.matmul)."""
+    ac = R.matmul(A).matmul(P).to_scipy()
     ac.sum_duplicates()
     # drop numerically-zero fill-in (exact zeros from cancellation)
     ac.data[np.abs(ac.data) < 1e-300] = 0.0

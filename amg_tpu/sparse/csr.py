@@ -14,12 +14,23 @@ native C++ SpGEMM backend in `native/` replaces it when built (see
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
 import scipy.sparse as _sp
 
 from amg_tpu.dtypes import INDEX_DTYPE, SETUP_DTYPE
+
+
+def _use_native() -> bool:
+    """Route SpGEMM/transpose through native/libamgsetup.so when available
+    (AMG_TPU_NATIVE=0 forces the scipy path)."""
+    if os.environ.get("AMG_TPU_NATIVE", "1") == "0":
+        return False
+    from amg_tpu import native_backend as nb
+
+    return nb.available()
 
 
 @dataclass
@@ -96,9 +107,35 @@ class CSRMatrix:
         return np.asarray(out).reshape(-1).astype(SETUP_DTYPE)
 
     def transpose(self) -> "CSRMatrix":
+        if _use_native():
+            from amg_tpu import native_backend as nb
+
+            bi, bj, bv = nb.transpose(
+                self.indptr, self.indices, self.data, self.shape
+            )
+            return CSRMatrix(
+                indptr=bi.astype(INDEX_DTYPE),
+                indices=bj.astype(INDEX_DTYPE),
+                data=bv,
+                shape=(self.n_cols, self.n_rows),
+            )
         return CSRMatrix.from_scipy(self.to_scipy().T.tocsr())
 
     def matmul(self, other: "CSRMatrix") -> "CSRMatrix":
+        if _use_native():
+            from amg_tpu import native_backend as nb
+
+            ci, cj, cv = nb.spgemm(
+                self.indptr, self.indices, self.data,
+                other.indptr, other.indices, other.data,
+                self.shape, other.shape,
+            )
+            return CSRMatrix(
+                indptr=ci.astype(INDEX_DTYPE),
+                indices=cj.astype(INDEX_DTYPE),
+                data=cv,
+                shape=(self.n_rows, other.n_cols),
+            )
         return CSRMatrix.from_scipy(self.to_scipy() @ other.to_scipy())
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
