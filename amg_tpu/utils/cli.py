@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("-fail_level", type=int, default=d.fail_level)
     a("-fail_start", type=int, default=d.fail_start)
     a("-fail_duration", type=int, default=d.fail_duration)
+    a("-sps_method", default=d.sps_method,
+      choices=("fixed", "southwell_exp", "southwell_inv"))
+    a("-sps_alpha", type=float, default=d.sps_alpha)
+    a("-num_blocks", type=int, default=d.num_blocks)
     a("-rhs", default=d.rhs, choices=("rand", "ones", "zeros"))
     a("-init_guess", default=d.init_guess, choices=("rand", "ones", "zeros"))
     a("-print_reshist", action="store_true")

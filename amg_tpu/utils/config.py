@@ -16,9 +16,10 @@ from typing import Optional, Tuple
 # solver taxonomy of the reference (Main.hpp:60-77), native names
 SYNC_SOLVERS = ("mult", "multadd", "afacx", "afacj", "bpx")
 ASYNC_SOLVERS = ("async_multadd", "async_afacx", "async_bpx")
+SMOOTH_SOLVERS = ("async_smooth",)  # one-level async relaxation (finest grid)
 EXT_SOLVERS = ("explicit_ext_bpx", "implicit_ext_bpx",
                "async_explicit_ext_bpx", "async_implicit_ext_bpx")
-ALL_SOLVERS = SYNC_SOLVERS + ASYNC_SOLVERS + EXT_SOLVERS
+ALL_SOLVERS = SYNC_SOLVERS + ASYNC_SOLVERS + EXT_SOLVERS + SMOOTH_SOLVERS
 
 SMOOTHERS = (
     "jacobi", "l1_jacobi", "hybrid_jgs", "gs",
@@ -78,6 +79,12 @@ class SolverOptions:
     read_type: str = "sol"  # sol | res
     sim_read_delay: int = 4
     fire_prob: float = 0.5
+
+    # async one-level smoothing / stochastic parallel Southwell
+    # (reference: -sps_alpha, -sps_rand, src/DMEM_Main.cpp:448-460)
+    sps_method: str = "southwell_exp"  # fixed | southwell_exp | southwell_inv
+    sps_alpha: float = 1.0
+    num_blocks: int = 8  # rank/shard analog for the async-smooth partition
 
     # fault / straggler injection (reference: -delay_*, -fail_one)
     delay_levels: Tuple[int, ...] = ()

@@ -149,7 +149,28 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         simple_add_smoother=opts.simple_jacobi,
     )
 
-    if opts.solver in EXT_SOLVERS:
+    if opts.solver == "async_smooth":
+        from amg_tpu.solve.async_smooth import (
+            AsyncSmoothConfig,
+            async_smooth_solve,
+            block_neighbor_mask,
+        )
+
+        ascfg = AsyncSmoothConfig(
+            smoother=smoother,
+            num_blocks=opts.num_blocks,
+            method=opts.sps_method,
+            sps_alpha=opts.sps_alpha,
+            fire_prob=opts.fire_prob,
+        )
+        nbr = block_neighbor_mask(prob.A, opts.num_blocks)
+        res = async_smooth_solve(
+            hier.levels[0].A, hier.levels[0].sm, ascfg, nbr, b, x0,
+            key=jax.random.PRNGKey(opts.seed),
+            tol=opts.tol, max_cycles=opts.num_cycles,
+        )
+        gw = None
+    elif opts.solver in EXT_SOLVERS:
         from amg_tpu.solve.accel import estimate_cycle_eigs
         from amg_tpu.solve.extended import (
             build_extended_system,

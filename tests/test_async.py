@@ -142,3 +142,53 @@ class TestExtendedSystem:
             async_fire_prob=0.7, sim_read_delay=3,
         )
         assert float(res.rel_resnorm) <= 1e-8
+
+
+class TestAsyncSmooth:
+    def test_southwell_converges_and_balances(self, setup32):
+        from amg_tpu.solve.async_smooth import (
+            AsyncSmoothConfig,
+            async_smooth_solve,
+            block_neighbor_mask,
+        )
+        from amg_tpu.smooth import make_smoother_data
+        from amg_tpu.sparse.ell import ell_from_csr
+
+        prob, hh, hier, b, params = setup32
+        A = ell_from_csr(prob.A)
+        sm = make_smoother_data(prob.A, SmootherType.L1_JACOBI, w=1.0)
+        nbr = block_neighbor_mask(prob.A, 8)
+        cfg = AsyncSmoothConfig(
+            smoother=SmootherType.L1_JACOBI, num_blocks=8,
+            method="southwell_exp", sps_alpha=0.5,
+        )
+        res = async_smooth_solve(A, sm, cfg, nbr, b, tol=1e-3, max_cycles=5000)
+        assert float(res.rel_resnorm) <= 1e-3
+        counts = np.asarray(res.block_updates)
+        assert counts.min() > 0
+
+    def test_fixed_prob_slower_than_always(self, setup32):
+        from amg_tpu.solve.async_smooth import (
+            AsyncSmoothConfig,
+            async_smooth_solve,
+            block_neighbor_mask,
+        )
+        from amg_tpu.smooth import make_smoother_data
+        from amg_tpu.sparse.ell import ell_from_csr
+
+        prob, hh, hier, b, params = setup32
+        A = ell_from_csr(prob.A)
+        sm = make_smoother_data(prob.A, SmootherType.L1_JACOBI, w=1.0)
+        nbr = block_neighbor_mask(prob.A, 8)
+        iters = {}
+        for p in (1.0, 0.5):
+            cfg = AsyncSmoothConfig(
+                smoother=SmootherType.L1_JACOBI, num_blocks=8,
+                method="fixed", fire_prob=p,
+            )
+            res = async_smooth_solve(
+                A, sm, cfg, nbr, b, tol=1e-2, max_cycles=4000,
+                key=jax.random.PRNGKey(0),
+            )
+            iters[p] = int(res.iters)
+        assert iters[0.5] > iters[1.0]
