@@ -1,0 +1,120 @@
+"""Double-single (two-float) compensated arithmetic for mixed precision.
+
+This TPU's f64 path is unusable (software-emulated and, on this backend,
+does not even compile), but iterative refinement to 1e-8 relative residuals
+needs better-than-f32 state and residual evaluation. The classical remedy is
+double-single arithmetic: a value is an unevaluated sum hi + lo of two f32s
+(~48 significant bits), with error-free transformations (Knuth TwoSum)
+keeping the low parts exact.
+
+Used by amg_tpu.solve.mixed: the solution is stored as (hi, lo), and the
+fine-grid residual r = b - A x is evaluated with compensated tap summation,
+so refinement with f32 V-cycles converges to ~1e-9 relative instead of the
+plain-f32 ~1e-5 floor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+
+class DS(NamedTuple):
+    """Double-single number/vector: value = hi + lo (|lo| <= ulp(hi)/2)."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def two_sum(a, b):
+    """Error-free: s + e == a + b exactly (Knuth)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+_SPLIT = 4097.0  # 2^12 + 1 (Dekker split factor for f32's 24-bit mantissa)
+
+
+def _split(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free: p + e == a * b exactly (Dekker, no FMA needed)."""
+    p = a * b
+    a_hi, a_lo = _split(a)
+    b_hi, b_lo = _split(b)
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def ds_from(x) -> DS:
+    return DS(hi=x, lo=jnp.zeros_like(x))
+
+
+def ds_renorm(hi, lo) -> DS:
+    s, e = two_sum(hi, lo)
+    return DS(hi=s, lo=e)
+
+
+def ds_add_float(x: DS, y) -> DS:
+    """x + y for f32 y."""
+    s, e = two_sum(x.hi, y)
+    return ds_renorm(s, e + x.lo)
+
+
+def ds_add(x: DS, y: DS) -> DS:
+    s, e = two_sum(x.hi, y.hi)
+    return ds_renorm(s, e + x.lo + y.lo)
+
+
+def ds_neg(x: DS) -> DS:
+    return DS(hi=-x.hi, lo=-x.lo)
+
+
+def ds_to_float(x: DS):
+    return x.hi + x.lo
+
+
+def stencil_matvec_comp(A, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """y = A @ x for a (Var)StencilOperator with compensated products
+    (Dekker TwoProd) and compensated tap summation (TwoSum): returns
+    (y_hi, y_err) with y_hi + y_err accurate to ~f32 eps^2."""
+    grid = x.reshape(A.grid_shape)
+    nd = len(A.grid_shape)
+    pads = [
+        (
+            max(abs(o[d]) for o in A.offsets),
+            max(abs(o[d]) for o in A.offsets),
+        )
+        for d in range(nd)
+    ]
+    padded = jnp.pad(grid, pads)
+    acc = jnp.zeros_like(grid)
+    comp = jnp.zeros_like(grid)
+    var = hasattr(A, "coeffs")
+    for t, off in enumerate(A.offsets):
+        idx = tuple(
+            slice(pads[d][0] + off[d], pads[d][0] + off[d] + A.grid_shape[d])
+            for d in range(nd)
+        )
+        w = A.coeffs[t] if var else A.weights[t]
+        term, perr = two_prod(w, padded[idx])
+        acc, e = two_sum(acc, term)
+        comp = comp + e + perr
+    return acc.reshape(x.shape), comp.reshape(x.shape)
+
+
+def ds_residual(A, b: DS, x: DS) -> DS:
+    """r = b - A x with x, b, r in double-single. A x evaluated as a
+    compensated matvec of hi plus a plain matvec of lo."""
+    y_hi, y_err = stencil_matvec_comp(A, x.hi)
+    y_lo = A @ x.lo
+    s, e = two_sum(b.hi, -y_hi)
+    small = b.lo - y_err - y_lo + e
+    return ds_renorm(s, small)

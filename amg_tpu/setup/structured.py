@@ -1,0 +1,358 @@
+"""Structured (geometric) multigrid hierarchy — the gather-free fast path.
+
+TPU gathers run at ~7 ns/element, so ELL SpMV dominates coarse-level cost in
+the algebraic hierarchy. For stencil problems (the Laplacian/difconv family,
+SURVEY §2.8 — the reference's headline benchmarks) the TPU-first design is a
+PFMG-style structured hierarchy:
+
+  * coarsening: every other point per axis (vertex-centered, even indices);
+  * P: separable (bi/tri)linear interpolation = zero-upsample + a [1/2,1,1/2]
+    filter per axis; R = P^T = the mirrored filter + even subsampling —
+    both are shift/slice operations, no index arrays;
+  * A_c = R A P computed on the host and re-expressed as a VARIABLE-
+    coefficient stencil (one coefficient array per offset): SpMV at every
+    level is a sum of shifted elementwise multiplies — fully XLA-fusable,
+    zero gathers (hypre's PFMG stores struct matrices the same way).
+
+The resulting levels plug into the same cycle algorithms (duck-typed A/P/R
+with `@`), smoothers, async schedulers, and solve drivers as the algebraic
+path. For a 27-pt fine operator with trilinear transfers the coarse
+operators stay 27-pt (verified at build time).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amg_tpu.dtypes import SETUP_DTYPE
+from amg_tpu.sparse.csr import CSRMatrix
+from amg_tpu.sparse.stencil import StencilOperator
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class VarStencilOperator:
+    """Variable-coefficient stencil: coeffs[t] is the full grid-shaped array
+    of coefficients for offset t (the struct-matrix layout of hypre PFMG).
+
+    y[i] = sum_t coeffs[t][i] * x[i + offset_t]   (zero outside the grid)
+    """
+
+    coeffs: jnp.ndarray  # (m, *grid_shape)
+    offsets: Tuple[Tuple[int, ...], ...]  # static
+    grid_shape: Tuple[int, ...]  # static
+
+    def tree_flatten(self):
+        return (self.coeffs,), (self.offsets, self.grid_shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(coeffs=children[0], offsets=aux[0], grid_shape=aux[1])
+
+    @property
+    def n_rows(self) -> int:
+        return int(np.prod(self.grid_shape))
+
+    @property
+    def shape(self) -> tuple:
+        return (self.n_rows, self.n_rows)
+
+    def diagonal(self) -> jnp.ndarray:
+        for t, off in enumerate(self.offsets):
+            if all(d == 0 for d in off):
+                return self.coeffs[t].reshape(-1)
+        return jnp.zeros(self.n_rows, self.coeffs.dtype)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        grid = x.reshape(self.grid_shape)
+        nd = len(self.grid_shape)
+        pads = [
+            (
+                max(abs(o[d]) for o in self.offsets),
+                max(abs(o[d]) for o in self.offsets),
+            )
+            for d in range(nd)
+        ]
+        padded = jnp.pad(grid, pads)
+        y = jnp.zeros_like(grid)
+        for t, off in enumerate(self.offsets):
+            idx = tuple(
+                slice(pads[d][0] + off[d], pads[d][0] + off[d] + self.grid_shape[d])
+                for d in range(nd)
+            )
+            y = y + self.coeffs[t] * padded[idx]
+        return y.reshape(x.shape)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
+def _filter_axis(g: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Apply the symmetric [1/2, 1, 1/2] linear-interpolation filter along
+    one axis (zero boundary)."""
+    nd = g.ndim
+    pad = [(1, 1) if d == axis else (0, 0) for d in range(nd)]
+    p = jnp.pad(g, pad)
+    n = g.shape[axis]
+
+    def sl(s):
+        return tuple(
+            slice(s, s + n) if d == axis else slice(None) for d in range(nd)
+        )
+
+    return 0.5 * p[sl(0)] + p[sl(1)] + 0.5 * p[sl(2)]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class StructuredProlong:
+    """Trilinear prolongation coarse→fine: zero-upsample then filter."""
+
+    fine_shape: Tuple[int, ...]
+    coarse_shape: Tuple[int, ...]
+
+    def tree_flatten(self):
+        return (), (self.fine_shape, self.coarse_shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(fine_shape=aux[0], coarse_shape=aux[1])
+
+    @property
+    def shape(self):
+        return (int(np.prod(self.fine_shape)), int(np.prod(self.coarse_shape)))
+
+    @property
+    def shape_cols(self):
+        return self.shape[1]
+
+    def __matmul__(self, xc: jnp.ndarray):
+        g = xc.reshape(self.coarse_shape)
+        nd = g.ndim
+        up = jnp.zeros(self.fine_shape, g.dtype)
+        # coarse point c lives at fine index 2c (always in range for
+        # coarse_shape = (fine+1)//2)
+        idx = tuple(slice(0, 2 * s - 1, 2) for s in self.coarse_shape)
+        up = up.at[idx].set(g)
+        for d in range(nd):
+            up = _filter_axis(up, d)
+        return up.reshape(-1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class StructuredRestrict:
+    """Full-weighting restriction fine→coarse: P^T = filter then subsample."""
+
+    fine_shape: Tuple[int, ...]
+    coarse_shape: Tuple[int, ...]
+
+    def tree_flatten(self):
+        return (), (self.fine_shape, self.coarse_shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(fine_shape=aux[0], coarse_shape=aux[1])
+
+    @property
+    def shape(self):
+        return (int(np.prod(self.coarse_shape)), int(np.prod(self.fine_shape)))
+
+    @property
+    def shape_cols(self):
+        return self.shape[1]
+
+    def __matmul__(self, rf: jnp.ndarray):
+        g = rf.reshape(self.fine_shape)
+        for d in range(g.ndim):
+            g = _filter_axis(g, d)
+        idx = tuple(slice(0, 2 * s - 1, 2) for s in self.coarse_shape)
+        out = g[idx]
+        # guard: when 2*c-1 > f (can't happen with our coarse_shape choice)
+        return out.reshape(-1)
+
+
+def _coarse_shape(shape):
+    return tuple((s + 1) // 2 for s in shape)
+
+
+def _structured_P_csr(fine_shape, coarse_shape) -> CSRMatrix:
+    """Assemble the trilinear P as host CSR (for RAP and validation)."""
+    import scipy.sparse as sp
+
+    nd = len(fine_shape)
+    nf = int(np.prod(fine_shape))
+    nc = int(np.prod(coarse_shape))
+    cid = np.arange(nc).reshape(coarse_shape)
+    rows, cols, vals = [], [], []
+    # fine point f gets contributions from coarse neighbors per axis
+    fidx = np.stack(
+        np.meshgrid(*[np.arange(s) for s in fine_shape], indexing="ij"),
+        axis=-1,
+    ).reshape(-1, nd)
+    fid = np.arange(nf)
+    # per axis: even f → (f//2, weight 1); odd f → ((f-1)/2, .5), ((f+1)/2, .5)
+    per_axis = []
+    for d in range(nd):
+        f = fidx[:, d]
+        even = f % 2 == 0
+        opts = []  # list of (cidx array, weight array, valid mask)
+        opts.append((f // 2, np.where(even, 1.0, 0.5), even | (f // 2 >= 0)))
+        opts.append(((f + 1) // 2, np.where(even, 0.0, 0.5),
+                     (~even) & ((f + 1) // 2 < coarse_shape[d])))
+        per_axis.append(opts)
+    for combo in itertools.product(range(2), repeat=nd):
+        w = np.ones(nf)
+        cmulti = np.zeros((nf, nd), dtype=np.int64)
+        valid = np.ones(nf, dtype=bool)
+        for d in range(nd):
+            ci, wd, vd = per_axis[d][combo[d]]
+            w = w * wd
+            cmulti[:, d] = ci
+            valid &= vd
+        valid &= w != 0.0
+        if not valid.any():
+            continue
+        cflat = cid[tuple(cmulti[valid].T)]
+        rows.append(fid[valid])
+        cols.append(cflat)
+        vals.append(w[valid])
+    p = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nf, nc),
+    )
+    return CSRMatrix.from_scipy(p)
+
+
+def _csr_to_var_stencil(A: CSRMatrix, grid_shape, dtype) -> VarStencilOperator:
+    """Re-express a CSR operator on a structured grid as a variable stencil.
+    Raises if any entry falls outside the ±1 neighborhood (would indicate
+    transfer operators inconsistent with a 27-pt-closed RAP)."""
+    nd = len(grid_shape)
+    n = int(np.prod(grid_shape))
+    assert A.n_rows == n
+    strides = np.array(
+        [int(np.prod(grid_shape[d + 1 :])) for d in range(nd)], dtype=np.int64
+    )
+    offsets = [o for o in itertools.product((-1, 0, 1), repeat=nd)]
+    off_index = {o: t for t, o in enumerate(offsets)}
+    coeffs = np.zeros((len(offsets), n), dtype=SETUP_DTYPE)
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    cols = A.indices.astype(np.int64)
+    # decode multi-indices
+    rmulti = np.stack(
+        [np.asarray((rows // strides[d]) % grid_shape[d]) for d in range(nd)],
+        axis=1,
+    )
+    cmulti = np.stack(
+        [np.asarray((cols // strides[d]) % grid_shape[d]) for d in range(nd)],
+        axis=1,
+    )
+    delta = cmulti - rmulti
+    if np.abs(delta).max() > 1:
+        bad = np.abs(delta).max(axis=1) > 1
+        raise ValueError(
+            f"operator not ±1-stencil-closed: {bad.sum()} entries reach "
+            f"distance {np.abs(delta).max()}"
+        )
+    tidx = np.array([off_index[tuple(d)] for d in delta])
+    coeffs[tidx, rows] = A.data
+    return VarStencilOperator(
+        coeffs=jnp.asarray(coeffs.reshape((len(offsets),) + tuple(grid_shape)),
+                           dtype=dtype),
+        offsets=tuple(offsets),
+        grid_shape=tuple(grid_shape),
+    )
+
+
+def build_structured_hierarchy(
+    fine: StencilOperator,
+    params=None,
+    max_levels: int = 25,
+    max_coarse_size: int = 600,
+    dtype=jnp.float64,
+    smoother=None,
+    smooth_weight=None,
+):
+    """Geometric hierarchy for a stencil problem. Returns the same
+    (HostHierarchy, Hierarchy) pair as the algebraic build — Level.A is a
+    VarStencilOperator (level 0 keeps the constant StencilOperator), P/R are
+    structured transfer objects, the coarsest level is a dense inverse."""
+    from amg_tpu.setup.hierarchy import (
+        Hierarchy,
+        HostHierarchy,
+        HostLevel,
+        Level,
+    )
+    from amg_tpu.setup.rap import estimate_rho_dinv_a
+    from amg_tpu.smooth import SmootherType, make_smoother_data
+    from amg_tpu.sparse.stencil import stencil_to_csr
+
+    if params is not None:
+        dtype = params.dtype
+        smoother = params.smoother
+        smooth_weight = params.smooth_weight
+        max_levels = params.max_levels
+        max_coarse_size = max(params.max_coarse_size, 8)
+    if smoother is None:
+        smoother = SmootherType.L1_JACOBI
+
+    hh = HostHierarchy(params=params)
+    shapes = [tuple(fine.grid_shape)]
+    A_csr = stencil_to_csr(fine)
+    dev_levels = []
+    A_dev = StencilOperator(
+        weights=jnp.asarray(np.asarray(fine.weights), dtype=dtype),
+        offsets=fine.offsets,
+        grid_shape=tuple(fine.grid_shape),
+    )
+    lvl = 0
+    while True:
+        shape = shapes[-1]
+        hl = HostLevel(A=A_csr)
+        if smooth_weight is not None:
+            hl.weight = smooth_weight
+        else:
+            scale = None
+            if smoother in (SmootherType.L1_JACOBI, SmootherType.SYM_L1_JACOBI):
+                scale = A_csr.l1_row_norms()
+            hl.weight = 1.0 / max(estimate_rho_dinv_a(A_csr, scale=scale), 1e-12)
+        hh.levels.append(hl)
+        sm = make_smoother_data(A_csr, smoother, w=hl.weight, dtype=dtype)
+        n = A_csr.n_rows
+        if n <= max_coarse_size or lvl == max_levels - 1 or min(shape) < 5:
+            dev_levels.append(
+                Level(A=A_dev, P=None, R=None, P_s=None, R_s=None,
+                      R_inj=None, sm=sm)
+            )
+            break
+        cshape = _coarse_shape(shape)
+        P_csr = _structured_P_csr(shape, cshape)
+        R_csr = P_csr.transpose()
+        hl.P, hl.R = P_csr, R_csr
+        Ac_csr = R_csr.matmul(A_csr).matmul(P_csr)
+        # drop numerically-zero fill
+        acs = Ac_csr.to_scipy()
+        acs.data[np.abs(acs.data) < 1e-14 * np.abs(acs.data).max()] = 0.0
+        acs.eliminate_zeros()
+        Ac_csr = CSRMatrix.from_scipy(acs)
+        P_dev = StructuredProlong(fine_shape=shape, coarse_shape=cshape)
+        R_dev = StructuredRestrict(fine_shape=shape, coarse_shape=cshape)
+        dev_levels.append(
+            Level(A=A_dev, P=P_dev, R=R_dev, P_s=None, R_s=None,
+                  R_inj=None, sm=sm)
+        )
+        A_csr = Ac_csr
+        A_dev = _csr_to_var_stencil(Ac_csr, cshape, dtype)
+        shapes.append(cshape)
+        lvl += 1
+    coarse_Ainv = jnp.asarray(
+        np.linalg.inv(hh.levels[-1].A.to_dense()), dtype=dtype
+    )
+    return hh, Hierarchy(levels=tuple(dev_levels), coarse_Ainv=coarse_Ainv)

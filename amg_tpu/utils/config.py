@@ -43,6 +43,12 @@ class SolverOptions:
     num_functions: int = 0  # 0 = auto (problem-dependent); >0 overrides
     sigma: float = 1.0  # maxwell conductivity
 
+    # hierarchy type: algebraic AMG or structured (geometric, PFMG-style,
+    # gather-free — stencil problems only); mixed: f32 cycles + double-single
+    # refinement to f64-class accuracy (TPU path)
+    hierarchy: str = "algebraic"  # algebraic | structured
+    mixed_precision: bool = False
+
     # setup (reference: -th strong threshold, -interp, -coarsen, -mxl,
     #        -agg_nl/-Pmax analogues, -smooth_weight, -num_threads→block)
     strong_threshold: float = 0.25

@@ -103,7 +103,21 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         keep_stencil_fine=(opts.num_devices <= 1),
     )
     mesh = None
-    if opts.num_devices > 1:
+    if opts.hierarchy == "structured":
+        if prob.stencil is None:
+            raise ValueError("structured hierarchy needs a stencil problem")
+        from amg_tpu.setup.structured import build_structured_hierarchy
+
+        dtype_s = jnp.float32 if opts.mixed_precision else params.dtype
+        hh, hier = build_structured_hierarchy(
+            prob.stencil,
+            max_levels=opts.max_levels,
+            max_coarse_size=max(opts.max_coarse_size, 8),
+            dtype=dtype_s,
+            smoother=smoother,
+            smooth_weight=opts.smooth_weight,
+        )
+    elif opts.num_devices > 1:
         from amg_tpu.parallel import make_row_mesh
         from amg_tpu.parallel.dist import (
             build_dist_hierarchy,
@@ -213,6 +227,14 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             tol=opts.tol, max_cycles=opts.num_cycles,
         )
         gw = res.grid_wait.summary()
+    elif opts.mixed_precision:
+        from amg_tpu.solve.mixed import mixed_solve
+
+        A64 = hier.levels[0].A  # CPU f64 path reuses; TPU path uses ds
+        res = mixed_solve(
+            hier, A64, cfg, b, x0, tol=opts.tol, max_cycles=opts.num_cycles
+        )
+        gw = None
     else:
         coeffs = None
         accel = None if opts.accel == "none" else opts.accel
