@@ -59,6 +59,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, _i32p, _i32p, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_int8),
     ]
+    lib.hmis_coarsen.restype = None
+    lib.hmis_coarsen.argtypes = lib.pmis_coarsen.argtypes
     lib.amg_free.restype = None
     lib.amg_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -132,6 +134,61 @@ def pmis(s_indptr, s_indices, n, seed: int = 0):
     si, sj = _as_i32(s_indptr), _as_i32(s_indices)
     cf = np.zeros(n, dtype=np.int8)
     lib.pmis_coarsen(
+        n, _ptr(si, _i32p), _ptr(sj, _i32p), ctypes.c_uint64(seed),
+        cf.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return cf
+
+
+def _bind_interp(lib, name):
+    fn = getattr(lib, name)
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i32p, _f64p,
+        _i32p, _i32p,
+        ctypes.POINTER(ctypes.c_int8), _i32p,
+        ctypes.POINTER(_i32p), ctypes.POINTER(_i32p), ctypes.POINTER(_f64p),
+    ]
+    return fn
+
+
+def interpolation(kind, a_indptr, a_indices, a_data, s_indptr, s_indices, cf, cmap, n, nc):
+    """kind: 'direct' | 'ext+i'. Returns (indptr, indices, data)."""
+    lib = _load()
+    assert lib is not None
+    fn = _bind_interp(lib, "interp_direct" if kind == "direct" else "interp_extpi")
+    ai, aj, av = _as_i32(a_indptr), _as_i32(a_indices), _as_f64(a_data)
+    si, sj = _as_i32(s_indptr), _as_i32(s_indices)
+    cfa = np.ascontiguousarray(cf, dtype=np.int8)
+    cm = _as_i32(cmap)
+    pi = _i32p()
+    pj = _i32p()
+    pv = _f64p()
+    nnz = fn(
+        n, nc,
+        _ptr(ai, _i32p), _ptr(aj, _i32p), _ptr(av, _f64p),
+        _ptr(si, _i32p), _ptr(sj, _i32p),
+        cfa.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), _ptr(cm, _i32p),
+        ctypes.byref(pi), ctypes.byref(pj), ctypes.byref(pv),
+    )
+    try:
+        indptr = np.ctypeslib.as_array(pi, shape=(n + 1,)).copy()
+        indices = np.ctypeslib.as_array(pj, shape=(max(nnz, 1),))[:nnz].copy()
+        data = np.ctypeslib.as_array(pv, shape=(max(nnz, 1),))[:nnz].copy()
+    finally:
+        lib.amg_free(pi)
+        lib.amg_free(pj)
+        lib.amg_free(pv)
+    return indptr, indices, data
+
+
+def hmis(s_indptr, s_indices, n, seed: int = 0):
+    lib = _load()
+    assert lib is not None
+    si, sj = _as_i32(s_indptr), _as_i32(s_indices)
+    cf = np.zeros(n, dtype=np.int8)
+    lib.hmis_coarsen(
         n, _ptr(si, _i32p), _ptr(sj, _i32p), ctypes.c_uint64(seed),
         cf.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
     )

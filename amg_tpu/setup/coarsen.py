@@ -151,4 +151,20 @@ def pmis_native(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     return nb.pmis(s.indptr, s.indices, s.shape[0], seed).astype(np.int8)
 
 
-COARSENING = {"pmis": pmis, "hmis": hmis, "pmis_native": pmis_native}
+def hmis_native(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
+    """HMIS via the native C++ backend (RS first pass + biased PMIS rounds);
+    falls back to the numpy implementation when the library is missing."""
+    from amg_tpu import native_backend as nb
+
+    if not nb.available():
+        return hmis(S, seed)
+    s = S.tocsr()
+    return nb.hmis(s.indptr, s.indices, s.shape[0], seed).astype(np.int8)
+
+
+COARSENING = {
+    "pmis": pmis,
+    "hmis": hmis_native,  # native by default; numpy fallback inside
+    "hmis_py": hmis,
+    "pmis_native": pmis_native,
+}

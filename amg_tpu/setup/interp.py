@@ -36,7 +36,33 @@ def _coarse_map(cf: np.ndarray) -> np.ndarray:
     return cmap
 
 
+def _native_interp(kind, A_csr, S, cf):
+    import os
+
+    if os.environ.get("AMG_TPU_NATIVE", "1") == "0":
+        return None
+    from amg_tpu import native_backend as nb
+
+    if not nb.available():
+        return None
+    cmap = _coarse_map(cf).astype(np.int32)
+    nc = int((cf == C_PT).sum())
+    s = S.tocsr()
+    pi, pj, pv = nb.interpolation(
+        kind, A_csr.indptr, A_csr.indices, A_csr.data,
+        s.indptr, s.indices, (cf == C_PT).astype(np.int8), cmap,
+        A_csr.n_rows, nc,
+    )
+    return CSRMatrix(
+        indptr=pi.astype(np.int32), indices=pj.astype(np.int32),
+        data=pv, shape=(A_csr.n_rows, nc),
+    )
+
+
 def direct_interpolation(A_csr, S: sp.csr_matrix, cf: np.ndarray) -> CSRMatrix:
+    native = _native_interp("direct", A_csr, S, cf)
+    if native is not None:
+        return native
     a = A_csr.to_scipy().tocsr()
     n = a.shape[0]
     cmap = _coarse_map(cf)
@@ -89,7 +115,11 @@ def direct_interpolation(A_csr, S: sp.csr_matrix, cf: np.ndarray) -> CSRMatrix:
 
 
 def extended_i_interpolation(A_csr, S: sp.csr_matrix, cf: np.ndarray) -> CSRMatrix:
-    """Extended+i interpolation (hypre interp_type 6 equivalent)."""
+    """Extended+i interpolation (hypre interp_type 6 equivalent); dispatches
+    to the native C++ port (native/amg_setup.cpp, results identical)."""
+    native = _native_interp("ext+i", A_csr, S, cf)
+    if native is not None:
+        return native
     a = A_csr.to_scipy().tocsr()
     n = a.shape[0]
     cmap = _coarse_map(cf)
@@ -166,29 +196,42 @@ def truncate_interpolation(
     P: CSRMatrix, trunc_factor: float = 0.0, max_elmts: int = 0
 ) -> CSRMatrix:
     """Row-wise truncation with row-sum-preserving rescale (the reference sets
-    hypre's add_trunc_factor / add_P_max_elmts, src/DMEM_Setup.cpp:589-593)."""
+    hypre's add_trunc_factor / add_P_max_elmts, src/DMEM_Setup.cpp:589-593).
+    Fully vectorized (sort-based per-row ranking)."""
     if trunc_factor <= 0.0 and max_elmts <= 0:
         return P
-    p = P.to_scipy().tolil()
-    for i in range(P.n_rows):
-        row = np.asarray(p.data[i], dtype=np.float64)
-        if row.size == 0:
-            continue
-        idx = np.asarray(p.rows[i])
-        keep = np.ones(row.size, dtype=bool)
-        if trunc_factor > 0.0:
-            keep &= np.abs(row) >= trunc_factor * np.abs(row).max()
-        if 0 < max_elmts < keep.sum():
-            order = np.argsort(-np.abs(np.where(keep, row, 0.0)))
-            keep2 = np.zeros_like(keep)
-            keep2[order[:max_elmts]] = True
-            keep = keep & keep2
-        if keep.all():
-            continue
-        total = row.sum()
-        kept = row[keep]
-        ksum = kept.sum()
-        scale = total / ksum if ksum != 0.0 else 1.0
-        p.rows[i] = list(idx[keep])
-        p.data[i] = list(kept * scale)
-    return CSRMatrix.from_scipy(p.tocsr())
+    n = P.n_rows
+    nnz = P.nnz
+    if nnz == 0:
+        return P
+    indptr, indices, data = P.indptr, P.indices, P.data.astype(np.float64)
+    counts = np.diff(indptr)
+    row_ids = np.repeat(np.arange(n), counts)
+    absd = np.abs(data)
+    keep = np.ones(nnz, dtype=bool)
+    if trunc_factor > 0.0:
+        rowmax = np.zeros(n)
+        np.maximum.at(rowmax, row_ids, absd)
+        keep &= absd >= trunc_factor * rowmax[row_ids]
+    if max_elmts > 0:
+        # rank kept entries within each row by decreasing |value|
+        order = np.lexsort((-np.where(keep, absd, -1.0), row_ids))
+        starts = np.zeros(nnz, dtype=np.int64)
+        starts[np.cumsum(counts[:-1])] = counts[:-1] if n > 1 else []
+        rank_sorted = np.arange(nnz) - np.repeat(indptr[:-1].astype(np.int64), counts)
+        rank = np.empty(nnz, dtype=np.int64)
+        rank[order] = rank_sorted
+        keep &= rank < max_elmts
+    # row-sum-preserving rescale of the kept entries
+    total = np.zeros(n)
+    np.add.at(total, row_ids, data)
+    ksum = np.zeros(n)
+    np.add.at(ksum, row_ids[keep], data[keep])
+    scale = np.where(ksum != 0.0, total / np.where(ksum == 0.0, 1.0, ksum), 1.0)
+    new_data = data[keep] * scale[row_ids[keep]]
+    import scipy.sparse as _sp
+
+    out = _sp.csr_matrix(
+        (new_data, (row_ids[keep], indices[keep])), shape=P.shape
+    )
+    return CSRMatrix.from_scipy(out)
