@@ -155,3 +155,27 @@ class TestGraftEntry:
         fn, args = ge.entry()
         out = jax.jit(fn)(*args)
         assert out.shape == args[0].shape
+
+
+class TestDistAsync:
+    def test_async_additive_on_sharded_hierarchy(self, dist_setup):
+        """The bounded-staleness async additive solve (config 5 semantics)
+        runs unchanged on the row-sharded hierarchy: corrections accumulate
+        through XLA collectives, staleness/firing per level group."""
+        from amg_tpu.solve.async_sim import AsyncConfig, async_solve
+
+        prob, hh, hier, hier_s, pad_info, mesh, b = dist_setup
+        cfg = CycleConfig(
+            cycle=CycleType.MULTADD,
+            smoother=SmootherType.L1_JACOBI,
+            use_smoothed_transfers=True,
+        )
+        acfg = AsyncConfig(read_type="sol", async_type="semi", sim_read_delay=4)
+        b_s = pad_vector(b, pad_info, mesh)
+        res = async_solve(hier_s, cfg, acfg, b_s, tol=1e-8, max_cycles=500)
+        assert float(res.rel_resnorm) <= 1e-8
+        assert tuple(res.x.sharding.spec) == ("rows",)
+        x = unpad_vector(res.x, pad_info)
+        r = np.asarray(b) - prob.A @ np.asarray(x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1.1e-8
+        assert min(res.grid_wait.summary()["num_correct"]) > 0
