@@ -119,3 +119,50 @@ def estimate_cycle_eigs(
     lam_min = max(lam_max - abs(rho), 1e-12)
     # mild safety margins (the reference shifts its estimates similarly)
     return make_cheby_coeffs(alpha=0.95 * lam_min, beta=1.05 * lam_max)
+
+
+def estimate_eigs_lanczos(
+    apply_op, n: int, dtype, num_iters: int = 30, seed: int = 0,
+    range_start: bool = False,
+) -> ChebyCoeffs:
+    """Eigenvalue bounds via Lanczos (the native analog of the reference's
+    LOBPCG/Arnoldi eigensolvers, src/SMEM_Cheby.cpp:62-408): run the Lanczos
+    recurrence on the (symmetric) operator, take the extreme Ritz values of
+    the tridiagonal matrix. Sharper than power iteration at equal cost —
+    both ends of the spectrum from one run."""
+    import numpy as np
+    from scipy.linalg import eigh_tridiagonal
+
+    rng = np.random.default_rng(seed)
+    apply_j = jax.jit(apply_op)
+    v = jnp.asarray(rng.random(n), dtype=dtype)
+    if range_start:
+        v = apply_j(v)
+    v = v / jnp.linalg.norm(v)
+    alphas, betas = [], []
+    v_prev = jnp.zeros_like(v)
+    beta = 0.0
+    for _ in range(num_iters):
+        w = apply_j(v)
+        alpha = float(jnp.dot(v, w))
+        w = w - alpha * v - beta * v_prev
+        # full reorthogonalization is overkill for bounds; one step against
+        # the previous two vectors suffices for extreme Ritz values
+        beta_new = float(jnp.linalg.norm(w))
+        alphas.append(alpha)
+        if beta_new < 1e-14:
+            break
+        betas.append(beta_new)
+        v_prev = v
+        v = w / beta_new
+        beta = beta_new
+    if len(alphas) == 1:
+        lam_min = lam_max = alphas[0]
+    else:
+        evals = eigh_tridiagonal(
+            np.asarray(alphas), np.asarray(betas[: len(alphas) - 1]),
+            eigvals_only=True,
+        )
+        lam_min, lam_max = float(evals[0]), float(evals[-1])
+    lam_min = max(lam_min, 1e-12)
+    return make_cheby_coeffs(alpha=0.95 * lam_min, beta=1.05 * lam_max)

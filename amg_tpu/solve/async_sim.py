@@ -44,6 +44,12 @@ class AsyncConfig:
     -sim_grid_wait, async_type, res_compute aka read_type)."""
 
     read_type: str = "sol"  # "sol" (recompute r from stale x) | "res"
+    res_mode: str = "recompute"  # "recompute" (true r each step) | "update"
+    #   "update": the shared residual is maintained INCREMENTALLY,
+    #   r -= A*(sum of applied corrections), the reference's READ_RES +
+    #   LOCAL res_compute mode (src/SMEM_Async_AMG.cpp:270-302) — the
+    #   maintained r drifts from the true residual exactly as in the
+    #   reference; convergence is checked on the maintained r.
     async_type: str = "full"  # "full" (per-row staleness) | "semi" (per-level)
     sim_read_delay: int = 4  # staleness window in global steps
     fire_prob: float = 0.5  # per-level per-step firing probability
@@ -156,7 +162,8 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         return stale, col
 
     def body(state):
-        x, ring, lr, gw, apply_marks, gcorrect, k, relnorm, hist, key = state
+        (x, ring, lr, gw, apply_marks, gcorrect, r_state, k, relnorm, hist,
+         key) = state
         key, kf, kp, *kreads = jax.random.split(key, 3 + L)
         fire = jax.random.uniform(kf, (L,), dtype) < probs
         # transient failure window
@@ -190,6 +197,7 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         # the sum itself commutes); reference shuffles level_perm
         perm = jax.random.permutation(kp, L)
         x = x + jnp.sum(corrections, axis=0)
+        del kreads
 
         # grid-wait statistics, evaluated in apply order: how many global
         # corrections landed between this level's consecutive applies —
@@ -214,25 +222,34 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         )
         del read_cols
 
-        r_true = b - A0 @ x
-        relnorm = jnp.linalg.norm(r_true) / safe_r0
+        total_c = jnp.sum(corrections, axis=0)
+        if acfg.res_mode == "update":
+            # incremental residual maintenance (no b - A x recompute)
+            r_maint = r_state - A0 @ total_c
+            relnorm = jnp.linalg.norm(r_maint) / safe_r0
+            snap = x if acfg.read_type == "sol" else r_maint
+        else:
+            r_maint = r_state  # unused
+            r_true = b - A0 @ x
+            relnorm = jnp.linalg.norm(r_true) / safe_r0
+            snap = x if acfg.read_type == "sol" else r_true
         hist = hist.at[k + 1].set(relnorm)
-        snap = x if acfg.read_type == "sol" else r_true
         ring = ring.at[(k + 1) % W].set(snap)
         return (
-            x, ring, new_lr, gw, apply_marks, gcorrect, k + 1, relnorm, hist, key
+            x, ring, new_lr, gw, apply_marks, gcorrect, r_maint, k + 1,
+            relnorm, hist, key,
         )
 
     def cond(state):
-        _, _, _, _, _, _, k, relnorm, _, _ = state
+        _, _, _, _, _, _, _, k, relnorm, _, _ = state
         return (k < max_cycles) & (relnorm > tol)
 
     state = (
         x0, hist_ring, last_read, gw0, jnp.zeros(L, jnp.int32),
-        global_correct0, jnp.asarray(0, jnp.int32),
+        global_correct0, r0, jnp.asarray(0, jnp.int32),
         jnp.asarray(jnp.inf, dtype), hist0, key,
     )
-    x, _, _, gw, _, _, it, relnorm, hist, _ = jax.lax.while_loop(
+    x, _, _, gw, _, _, _, it, relnorm, hist, _ = jax.lax.while_loop(
         cond, body, state
     )
     return AsyncResult(

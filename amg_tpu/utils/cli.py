@@ -79,6 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-oneline_output", action="store_true")
     a("-print_level_stats", action="store_true")
     a("-print_grid_wait", action="store_true")
+    a("-background_program", action="store_true")
     a("-num_devices", type=int, default=d.num_devices)
     a("-only_setup", action="store_true")
     a("-num_runs", type=int, default=d.num_runs)

@@ -110,6 +110,10 @@ class SolverOptions:
     print_level_stats: bool = False
     print_grid_wait: bool = False
 
+    # background busy-loop competitor process during the solve
+    # (reference: -background_program, src/SMEM_Main.cpp:630-639)
+    background_program: bool = False
+
     # execution target
     num_devices: int = 1  # >1: row-shard over a device mesh
     only_setup: bool = False  # reference -only_setup

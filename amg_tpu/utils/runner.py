@@ -141,6 +141,15 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
     if opts.only_setup:
         return stats
 
+    competitor = None
+    if opts.background_program:
+        # spawn a host busy-loop competitor for the solve's duration
+        # (straggler-injection experiment; killed by exact PID afterwards)
+        import subprocess, sys
+
+        competitor = subprocess.Popen(
+            [sys.executable, "-c", "while True:\n a = sum(range(10000))"]
+        )
     dtype = params.dtype
     b, x0 = _make_vectors(opts, prob.n, dtype)
     if prob.rhs is not None and opts.rhs == "rand":
@@ -248,6 +257,9 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         gw = None
     jax.block_until_ready(res.x)
     stats.solve_wtime = timer.lap()
+    if competitor is not None:
+        competitor.kill()
+        competitor.wait()
     stats.cycles = int(res.iters)
     stats.rel_resnorm = float(res.rel_resnorm)
     h = np.asarray(res.history)

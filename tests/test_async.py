@@ -192,3 +192,17 @@ class TestAsyncSmooth:
             )
             iters[p] = int(res.iters)
         assert iters[0.5] > iters[1.0]
+
+
+class TestResUpdateMode:
+    def test_incremental_residual_converges(self, setup32):
+        """READ_RES + LOCAL res_compute analog: the maintained residual
+        (updated incrementally, never recomputed) still drives the solve to
+        a TRUE small residual."""
+        prob, hh, hier, b, params = setup32
+        acfg = AsyncConfig(read_type="res", res_mode="update",
+                           async_type="semi", sim_read_delay=3)
+        res = async_solve(hier, multadd_cfg(), acfg, b, tol=1e-8, max_cycles=600)
+        assert float(res.rel_resnorm) <= 1e-8
+        r = np.asarray(b) - prob.A @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-7

@@ -122,3 +122,24 @@ class Test3D:
         assert res.num_iters() <= 30
         r = np.asarray(b) - prob.A @ np.asarray(res.x)
         assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 1.1e-8
+
+
+class TestLanczos:
+    def test_lanczos_bounds_match_power(self):
+        import jax.numpy as jnp
+
+        from amg_tpu.solve.accel import estimate_cycle_eigs, estimate_eigs_lanczos
+        from amg_tpu.solve.cycles import cycle_step
+
+        prob = laplacian_2d_5pt(16)
+        params = HierarchyParams(smoother=SmootherType.JACOBI)
+        hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+        A = prob.A.to_dense()
+        d = prob.A.diagonal()
+        op = lambda u: jnp.asarray(1.0 / d) * (hier.levels[0].A @ u)
+        exact = np.linalg.eigvals(np.diag(1.0 / d) @ A).real
+        lz = estimate_eigs_lanczos(op, prob.n, jnp.float64, num_iters=40)
+        assert lz.beta >= exact.max() * 0.98
+        assert lz.alpha <= exact.min() * 1.2 + 1e-6
+        pw = estimate_cycle_eigs(op, prob.n, jnp.float64, num_iters=40)
+        assert abs(lz.beta - pw.beta) / pw.beta < 0.1
