@@ -243,3 +243,42 @@ def pad_extended_layout(level_sizes, assignment, num_devices, total_rows=None):
     for k in range(L):
         row_owner[padded_offsets[k] : padded_offsets[k] + level_sizes[k]] = k
     return tuple(padded_offsets), padded_total, row_owner
+
+
+def shard_structured_hierarchy(hier, mesh: Mesh):
+    """Shard a structured (geometric) hierarchy over the mesh: grid-shaped
+    coefficient arrays split along the major (z) axis, vectors row-sharded.
+    The stencil matvec's pad+shift pattern gets its halo exchanges inserted
+    by GSPMD (verified: sharded solve is iteration-identical to single
+    device). Levels whose z-extent does not divide the mesh replicate their
+    (small) coefficient arrays; vectors stay sharded throughout."""
+    from amg_tpu.setup.hierarchy import Hierarchy
+    from amg_tpu.setup.structured import VarStencilOperator
+    from amg_tpu.sparse.stencil import StencilOperator
+
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    levels = []
+    for lv in hier.levels:
+        A = lv.A
+        if isinstance(A, VarStencilOperator):
+            spec = (
+                P(None, axis) if A.grid_shape[0] % D == 0 else P()
+            )
+            A = VarStencilOperator(
+                coeffs=jax.device_put(A.coeffs, NamedSharding(mesh, spec)),
+                offsets=A.offsets,
+                grid_shape=A.grid_shape,
+            )
+        elif isinstance(A, StencilOperator):
+            A = StencilOperator(
+                weights=jax.device_put(A.weights, _replicated(mesh)),
+                offsets=A.offsets,
+                grid_shape=A.grid_shape,
+            )
+        sm = _shard_smoother(lv.sm, mesh) if lv.sm.scale.shape[0] % D == 0 else lv.sm
+        levels.append(lv._replace(A=A, sm=sm))
+    return Hierarchy(
+        levels=tuple(levels),
+        coarse_Ainv=jax.device_put(hier.coarse_Ainv, _replicated(mesh)),
+    )

@@ -179,3 +179,30 @@ class TestDistAsync:
         r = np.asarray(b) - prob.A @ np.asarray(x)
         assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1.1e-8
         assert min(res.grid_wait.summary()["num_correct"]) > 0
+
+
+class TestDistStructured:
+    def test_sharded_structured_solve_matches(self):
+        """GSPMD-sharded structured hierarchy: the pad+shift stencil matvec
+        gets compiler-inserted halo exchanges; solve is iteration-identical
+        to single-device."""
+        from amg_tpu.parallel.dist import shard_structured_hierarchy, shard_vector
+        from amg_tpu.problems import laplacian_3d_27pt
+        from amg_tpu.setup.structured import build_structured_hierarchy
+
+        prob = laplacian_3d_27pt(32)
+        hh, hier = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI
+        )
+        mesh = make_row_mesh(8)
+        hier_s = shard_structured_hierarchy(hier, mesh)
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        b_s = shard_vector(b, mesh)
+        cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+        res1 = solve(hier, cfg, b, tol=1e-8, max_cycles=40)
+        res8 = solve(hier_s, cfg, b_s, tol=1e-8, max_cycles=40)
+        assert int(res1.iters) == int(res8.iters)
+        np.testing.assert_allclose(
+            np.asarray(res1.x), np.asarray(res8.x), atol=1e-12
+        )
+        assert tuple(res8.x.sharding.spec) == ("rows",)
