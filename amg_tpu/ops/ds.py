@@ -110,10 +110,30 @@ def stencil_matvec_comp(A, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return acc.reshape(x.shape), comp.reshape(x.shape)
 
 
+def ell_matvec_comp(a, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compensated ELL SpMV: TwoProd per slot + TwoSum accumulation over the
+    (static, small) slot axis. Returns (y_hi, y_err)."""
+    gathered = x[a.cols]  # (n, k)
+    acc = jnp.zeros(a.cols.shape[0], x.dtype)
+    comp = jnp.zeros_like(acc)
+    for slot in range(a.k):
+        term, perr = two_prod(a.vals[:, slot], gathered[:, slot])
+        acc, e = two_sum(acc, term)
+        comp = comp + e + perr
+    return acc, comp
+
+
+def matvec_comp(A, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch the compensated matvec by operator type."""
+    if hasattr(A, "cols"):  # ELLMatrix
+        return ell_matvec_comp(A, x)
+    return stencil_matvec_comp(A, x)
+
+
 def ds_residual(A, b: DS, x: DS) -> DS:
     """r = b - A x with x, b, r in double-single. A x evaluated as a
     compensated matvec of hi plus a plain matvec of lo."""
-    y_hi, y_err = stencil_matvec_comp(A, x.hi)
+    y_hi, y_err = matvec_comp(A, x.hi)
     y_lo = A @ x.lo
     s, e = two_sum(b.hi, -y_hi)
     small = b.lo - y_err - y_lo + e

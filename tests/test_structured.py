@@ -165,3 +165,28 @@ class TestMixedPrecision:
         res = mixed_solve(hier32, A64, cfg, b, tol=1e-9, max_cycles=60)
         r = np.asarray(b) - prob.A @ np.asarray(res.x, np.float64)
         assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 2e-9
+
+
+class TestDSAlgebraic:
+    def test_ds_refinement_on_ell_hierarchy(self):
+        """Mixed precision works on the algebraic (ELL) path too: f32 AMG
+        cycles + compensated ELL residuals reach ~1e-9 true residual."""
+        from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+        from amg_tpu.solve.mixed import _loop_ds
+
+        prob = laplacian_2d_5pt(24)
+        params = HierarchyParams(
+            smoother=SmootherType.L1_JACOBI, dtype=jnp.float32,
+            keep_stencil_fine=False,
+        )
+        hh, hier32 = build_hierarchy(prob.A, params)
+        b64 = np.random.default_rng(0).random(prob.n)
+        bh = b64.astype(np.float32)
+        b_ds = DS(hi=jnp.asarray(bh), lo=jnp.asarray((b64 - bh).astype(np.float32)))
+        x0 = DS(hi=jnp.zeros(prob.n, jnp.float32), lo=jnp.zeros(prob.n, jnp.float32))
+        cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+        fn = jax.jit(_loop_ds, static_argnames=("cfg", "tol", "max_cycles"))
+        res = fn(hier32, hier32.levels[0].A, cfg, b_ds, x0, 1e-9, 80)
+        x64 = np.asarray(res.x, np.float64) + np.asarray(res.x_lo, np.float64)
+        r = b64 - prob.A @ x64
+        assert np.linalg.norm(r) / np.linalg.norm(b64) < 5e-9
