@@ -32,6 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-mat_file", dest="matrix_file", default=d.matrix_file)
     a("-num_functions", type=int, default=d.num_functions)
     a("-sigma", type=float, default=d.sigma)
+    a("-grading", type=float, default=d.grading)
     a("-hierarchy", default=d.hierarchy, choices=("algebraic", "structured"))
     a("-mixed_precision", action="store_true")
     a("-th", dest="strong_threshold", type=float, default=d.strong_threshold)

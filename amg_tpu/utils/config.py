@@ -26,7 +26,7 @@ SMOOTHERS = (
     "sym_jacobi", "sym_l1_jacobi",
 )
 
-PROBLEMS = ("5pt", "7pt", "27pt", "difconv", "vardifconv", "elasticity", "maxwell", "file")
+PROBLEMS = ("5pt", "7pt", "27pt", "difconv", "vardifconv", "elasticity", "maxwell", "graded", "file")
 
 
 @dataclass
@@ -42,6 +42,7 @@ class SolverOptions:
     matrix_file: str = ""  # -mat_file
     num_functions: int = 0  # 0 = auto (problem-dependent); >0 overrides
     sigma: float = 1.0  # maxwell conductivity
+    grading: float = 2.5  # graded-mesh (AMR-analog) refinement exponent
 
     # hierarchy type: algebraic AMG or structured (geometric, PFMG-style,
     # gather-free — stencil problems only); mixed: f32 cycles + double-single

@@ -41,6 +41,10 @@ def build_problem(opts: SolverOptions):
         from amg_tpu.problems.maxwell import maxwell_curlcurl
 
         return maxwell_curlcurl(n=nx, sigma=opts.sigma)
+    if opts.problem == "graded":
+        from amg_tpu.problems.amr import laplacian_graded
+
+        return laplacian_graded(nx, ny, gamma=opts.grading)
     if opts.problem == "file":
         from amg_tpu.problems.io import problem_from_file
 

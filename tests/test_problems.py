@@ -206,3 +206,31 @@ class TestMatrixIO:
         cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
         res = solve(hier, cfg, b, tol=1e-8, max_cycles=60)
         assert float(res.rel_resnorm) <= 1e-8
+
+
+class TestGradedMesh:
+    def test_spd_and_multiscale(self):
+        from amg_tpu.problems.amr import laplacian_graded
+
+        p = laplacian_graded(24, gamma=2.5)
+        A = p.A.to_dense()
+        np.testing.assert_allclose(A, A.T, atol=1e-12)
+        assert np.linalg.eigvalsh(A).min() > 0
+        d = p.A.diagonal()
+        assert d.max() / d.min() > 20  # multiscale h (the AMR character)
+
+    def test_amg_solves_graded(self):
+        from amg_tpu.problems.amr import laplacian_graded
+        from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+        from amg_tpu.smooth import SmootherType
+        from amg_tpu.solve import CycleConfig, CycleType, solve
+
+        p = laplacian_graded(24, gamma=2.5)
+        hh, hier = build_hierarchy(
+            p.A, HierarchyParams(smoother=SmootherType.L1_JACOBI)
+        )
+        b = jnp.asarray(np.random.default_rng(0).random(p.A.n_rows))
+        cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=100)
+        assert float(res.rel_resnorm) <= 1e-8
+        assert res.num_iters() <= 40
