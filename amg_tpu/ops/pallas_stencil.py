@@ -80,14 +80,22 @@ def _uniform_box_weights(taps):
 
 
 def _sweep_kernel(
-    u_hbm, b_ref, out_ref, scratch, acc_ref, sem,
-    *, taps, dims, T, G, alpha,
+    u_hbm, b_ref, *rest,
+    taps, dims, T, G, alpha, mode,
 ):
-    """One z-slab of the fused stencil sweep.
+    """One z-slab of the fused stencil kernel.
 
-    taps: tuple of (dz, dy, dx, weight); alpha: inv_w_diag scalar (constant
-    diagonal) — alpha == 0 computes the plain SpMV y = A u instead.
+    taps: tuple of (dz, dy, dx, weight). mode:
+      "spmv"      y = A u                         (b ignored)
+      "residual"  r = b - A u
+      "sweep"     u + alpha*(b - A u)             (scalar alpha)
+      "sweep_vec" u + scale*(b - A u)             (streamed scale input)
     """
+    if mode == "sweep_vec":
+        scale_ref, out_ref, scratch, acc_ref, sem = rest
+    else:
+        out_ref, scratch, acc_ref, sem = rest
+        scale_ref = None
     g = pl.program_id(0)
     Yr, Xr = b_ref.shape[1], b_ref.shape[2]
 
@@ -184,10 +192,17 @@ def _sweep_kernel(
                 acc_ref[...] = acc_ref[...] + partial
 
     acc = acc_ref[...]
-    if alpha == 0.0:
-        val = acc  # plain SpMV
-    else:
+    if mode == "spmv":
+        val = acc
+    elif mode == "residual":
+        val = b_ref[...] - acc  # r = b - A u
+    elif mode == "sweep":
         val = scratch[1 : T + 1, :, :] + alpha * (b_ref[...] - acc)
+    elif mode == "sweep_vec":
+        # per-point scaling (L1-Jacobi etc.): scale streamed in padded layout
+        val = scratch[1 : T + 1, :, :] + scale_ref[...] * (b_ref[...] - acc)
+    else:
+        raise ValueError(mode)
     # interior mask computed in-register: interior is [1,Z]x[1,Y]x[1,X]
     zi = jax.lax.broadcasted_iota(jnp.int32, (T, Yr, Xr), 0) + g * T
     yi = jax.lax.broadcasted_iota(jnp.int32, (T, Yr, Xr), 1)
@@ -200,18 +215,20 @@ def _sweep_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("weights", "grid_shape", "offsets", "slab", "alpha"),
+    static_argnames=("weights", "grid_shape", "offsets", "slab", "alpha", "mode"),
 )
-def _stencil_sweep_padded_impl(
+def _stencil_kernel_impl(
     u_pad: jnp.ndarray,
     b_pad: jnp.ndarray,
+    scale_pad,
     weights: Tuple[float, ...],
     grid_shape: Tuple[int, int, int],
     offsets: Tuple[Tuple[int, int, int], ...],
     alpha: float,
-    slab: int = 8,
+    slab: int,
+    mode: str,
 ) -> jnp.ndarray:
-    """u_new = u + alpha*(b - A u) on padded-layout state (alpha==0 → A u).
+    """Fused stencil kernel on padded-layout state (see _sweep_kernel modes).
 
     weights are passed as a static tuple via closure-free taps so the kernel
     unrolls all taps at trace time."""
@@ -224,29 +241,34 @@ def _stencil_sweep_padded_impl(
         for o, w in zip(offsets, weights)
     )
     kernel = functools.partial(
-        _sweep_kernel, taps=taps, dims=(Z, Y, X), T=T, G=G, alpha=alpha
+        _sweep_kernel, taps=taps, dims=(Z, Y, X), T=T, G=G, alpha=alpha,
+        mode=mode,
     )
+    blk = lambda: pl.BlockSpec(
+        (T, Yr, Xr), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM), blk()]
+    args = [u_pad, b_pad]
+    if mode == "sweep_vec":
+        in_specs.append(blk())
+        args.append(scale_pad)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Zr, Yr, Xr), u_pad.dtype),
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # u stays in HBM, DMA'd
-            pl.BlockSpec((T, Yr, Xr), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (T, Yr, Xr), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=blk(),
         scratch_shapes=[
             pltpu.VMEM((T + 2, Yr, Xr), u_pad.dtype),
             pltpu.VMEM((T, Yr, Xr), u_pad.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
-    )(u_pad, b_pad)
+    )(*args)
 
 
-def stencil_sweep_padded(
-    u_pad, b_pad, weights, grid_shape, offsets, alpha, slab: int = 8
+def stencil_kernel_padded(
+    u_pad, b_pad, weights, grid_shape, offsets,
+    alpha: float = 0.0, scale_pad=None, mode: str = "spmv", slab: int = 8,
 ):
     """Public entry: traces the kernel with x64 semantics disabled — Mosaic
     cannot legalize the i64 index types jax_enable_x64 injects (empirically:
@@ -254,13 +276,24 @@ def stencil_sweep_padded(
     The kernel's own arrays keep their dtype (f32 on TPU)."""
     if u_pad.dtype == jnp.float64:
         # f64 path only exists for CPU/interpret parity testing
-        return _stencil_sweep_padded_impl(
-            u_pad, b_pad, weights, grid_shape, offsets, alpha, slab
+        return _stencil_kernel_impl(
+            u_pad, b_pad, scale_pad, weights, grid_shape, offsets, alpha,
+            slab, mode,
         )
     with jax.enable_x64(False):
-        return _stencil_sweep_padded_impl(
-            u_pad, b_pad, weights, grid_shape, offsets, alpha, slab
+        return _stencil_kernel_impl(
+            u_pad, b_pad, scale_pad, weights, grid_shape, offsets, alpha,
+            slab, mode,
         )
+
+
+def stencil_sweep_padded(
+    u_pad, b_pad, weights, grid_shape, offsets, alpha, slab: int = 8
+):
+    mode = "spmv" if alpha == 0.0 else "sweep"
+    return stencil_kernel_padded(
+        u_pad, b_pad, weights, grid_shape, offsets, alpha, None, mode, slab
+    )
 
 
 def stencil_jacobi_sweep(

@@ -1,0 +1,155 @@
+"""Fully-fused structured V-cycle: fine-level state stays in padded layout.
+
+The structured hierarchy's fine level dominates cycle cost; its smoothing
+sweeps and residuals run through the fused Pallas kernel (one HBM pass each
+instead of ~29 unfused XLA passes), with the level-0 state kept permanently
+in the kernel's zero-shelled padded layout — layout conversions happen only
+at the level-0/level-1 transfer boundary (one slice/pad pass each way).
+Coarse levels run the ordinary flat-vector path (they are small).
+
+This is the production single-chip solve path for stencil problems
+(baseline configs 1-3); semantics are identical to mult_vcycle on the same
+hierarchy (tested).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amg_tpu.ops.pallas_stencil import (
+    from_padded,
+    padded_shape,
+    stencil_kernel_padded,
+    to_padded,
+)
+from amg_tpu.setup.hierarchy import Hierarchy
+from amg_tpu.solve.cycles import CycleConfig, mult_vcycle
+from amg_tpu.sparse.stencil import StencilOperator
+
+
+class StructKernelSpec(NamedTuple):
+    """Static fine-level kernel data (host-built once per hierarchy)."""
+
+    weights: tuple
+    offsets: tuple
+    grid_shape: tuple
+    slab: int
+    scale_pad: jnp.ndarray  # inv_wscale in padded layout ("sweep_vec")
+
+
+def make_struct_spec(hier: Hierarchy, slab: int = 8) -> StructKernelSpec:
+    A0 = hier.levels[0].A
+    assert isinstance(A0, StencilOperator), "fine level must be a stencil"
+    inv_wscale = hier.levels[0].sm.inv_wscale
+    return StructKernelSpec(
+        weights=tuple(float(w) for w in np.asarray(A0.weights)),
+        offsets=A0.offsets,
+        grid_shape=A0.grid_shape,
+        slab=slab,
+        scale_pad=to_padded(inv_wscale, A0.grid_shape, slab),
+    )
+
+
+def _fine(spec, mode, u_pad, b_pad):
+    return stencil_kernel_padded(
+        u_pad, b_pad, spec.weights, spec.grid_shape, spec.offsets,
+        alpha=0.0, scale_pad=(spec.scale_pad if mode == "sweep_vec" else None),
+        mode=mode, slab=spec.slab,
+    )
+
+
+def struct_vcycle(
+    hier: Hierarchy, cfg: CycleConfig, spec: StructKernelSpec,
+    x_pad: jnp.ndarray, b_pad: jnp.ndarray,
+) -> jnp.ndarray:
+    """One V-cycle with fused fine-level ops; x/b in padded layout."""
+    lv0 = hier.levels[0]
+    for _ in range(cfg.num_pre_sweeps):
+        x_pad = _fine(spec, "sweep_vec", x_pad, b_pad)
+    r_pad = _fine(spec, "residual", x_pad, b_pad)
+    rc = lv0.R @ from_padded(r_pad, spec.grid_shape)
+    if hier.num_levels == 2:
+        ec = hier.coarse_Ainv @ rc
+    else:
+        sub = Hierarchy(levels=hier.levels[1:], coarse_Ainv=hier.coarse_Ainv)
+        ec = mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
+    e_pad = to_padded(lv0.P @ ec, spec.grid_shape, spec.slab)
+    x_pad = x_pad + e_pad
+    for _ in range(cfg.num_post_sweeps):
+        x_pad = _fine(spec, "sweep_vec", x_pad, b_pad)
+    return x_pad
+
+
+class StructSolveResult(NamedTuple):
+    x: jnp.ndarray  # flat interior vector
+    iters: jnp.ndarray
+    rel_resnorm: jnp.ndarray
+    history: jnp.ndarray
+
+    def num_iters(self) -> int:
+        return int(self.iters)
+
+    def history_list(self):
+        h = np.asarray(self.history)
+        return h[~np.isnan(h)].tolist()
+
+
+def struct_solve(
+    hier: Hierarchy,
+    cfg: CycleConfig,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    tol: float = 1e-8,
+    max_cycles: int = 100,
+    slab: int = 8,
+) -> StructSolveResult:
+    """Full solve through the fused structured cycle (one jitted while_loop)."""
+    spec = make_struct_spec(hier, slab)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    fn = jax.jit(
+        _loop, static_argnames=("cfg", "spec_static", "tol", "max_cycles")
+    )
+    # split spec into static metadata + the device array
+    spec_static = (spec.weights, spec.offsets, spec.grid_shape, spec.slab)
+    return fn(hier, cfg, spec_static, spec.scale_pad, b, x0, tol, max_cycles)
+
+
+def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
+    weights, offsets, grid_shape, slab = spec_static
+    spec = StructKernelSpec(
+        weights=weights, offsets=offsets, grid_shape=grid_shape, slab=slab,
+        scale_pad=scale_pad,
+    )
+    b_pad = to_padded(b, grid_shape, slab)
+    x_pad0 = to_padded(x0, grid_shape, slab)
+    r0 = _fine(spec, "residual", x_pad0, b_pad)
+    r0n = jnp.linalg.norm(r0.reshape(-1))
+    safe_r0 = jnp.where(r0n == 0.0, 1.0, r0n)
+    hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=b.dtype)
+    hist0 = hist0.at[0].set(1.0)
+
+    def body(state):
+        x_pad, k, relnorm, hist = state
+        x_pad = struct_vcycle(hier, cfg, spec, x_pad, b_pad)
+        r_pad = _fine(spec, "residual", x_pad, b_pad)
+        relnorm = jnp.linalg.norm(r_pad.reshape(-1)) / safe_r0
+        hist = hist.at[k + 1].set(relnorm)
+        return (x_pad, k + 1, relnorm, hist)
+
+    def cond(state):
+        _, k, relnorm, _ = state
+        return (k < max_cycles) & (relnorm > tol)
+
+    state = (
+        x_pad0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, b.dtype), hist0
+    )
+    x_pad, it, relnorm, hist = jax.lax.while_loop(cond, body, state)
+    return StructSolveResult(
+        x=from_padded(x_pad, grid_shape), iters=it, rel_resnorm=relnorm,
+        history=hist,
+    )

@@ -240,6 +240,21 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             tol=opts.tol, max_cycles=opts.num_cycles,
         )
         gw = res.grid_wait.summary()
+    elif (
+        opts.hierarchy == "structured"
+        and opts.solver == "mult"
+        and not opts.mixed_precision
+        and opts.accel == "none"
+        and opts.outer_solver == "none"
+        and opts.num_devices <= 1
+    ):
+        # fused Pallas fine-level path (production single-chip stencil solve)
+        from amg_tpu.solve.struct_cycle import struct_solve
+
+        res = struct_solve(
+            hier, cfg, b, x0, tol=opts.tol, max_cycles=opts.num_cycles
+        )
+        gw = None
     elif opts.mixed_precision:
         from amg_tpu.solve.mixed import mixed_solve
 

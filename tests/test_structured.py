@@ -190,3 +190,26 @@ class TestDSAlgebraic:
         x64 = np.asarray(res.x, np.float64) + np.asarray(res.x_lo, np.float64)
         r = b64 - prob.A @ x64
         assert np.linalg.norm(r) / np.linalg.norm(b64) < 5e-9
+
+
+class TestFusedStructCycle:
+    def test_matches_reference_cycle(self):
+        """struct_solve (fused Pallas fine level, padded-layout state) is
+        iteration- and bit-identical to the generic cycle (interpret mode)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.solve.struct_cycle import struct_solve
+
+        prob = laplacian_3d_27pt(12)
+        hh, hier = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI
+        )
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+        with pltpu.force_tpu_interpret_mode():
+            res_f = struct_solve(hier, cfg, b, tol=1e-8, max_cycles=40)
+        res_r = solve(hier, cfg, b, tol=1e-8, max_cycles=40)
+        assert res_f.num_iters() == res_r.num_iters()
+        np.testing.assert_allclose(
+            np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-13
+        )
