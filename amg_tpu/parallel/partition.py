@@ -34,8 +34,12 @@ def compute_level_work(
     )
     work = np.zeros(L)
     for k in range(L):
-        # chain transfers to/from level k + smoothing (2 matvec-equivalents)
-        chain = p_nnz[:k].sum() if async_mode else p_nnz[:k].sum() / max(L, 1)
+        # restrict+prolong chains to/from level k, plus the level's own
+        # smoothing (2 matvec-equivalents) and vector ops. In the sync model
+        # the chains are shared across one sweep, so their cost is amortized.
+        chain = p_nnz[:k].sum()
+        if not async_mode:
+            chain /= max(L, 1)
         work[k] = 2.0 * chain + 2.0 * nnz[k] + 5.0 * rows[k]
     if imbalance != 0.0:
         rng = np.random.default_rng(0)

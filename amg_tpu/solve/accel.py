@@ -63,13 +63,12 @@ def cheby_update(
     state: ChebyState, u: jnp.ndarray, coeffs: ChebyCoeffs, richardson: bool = False
 ) -> ChebyState:
     """One accelerated-direction update (branch-free under jit)."""
-    mu, delta = state.c.dtype.type(coeffs.mu), state.c.dtype.type(coeffs.delta)
     c_new = 2.0 * coeffs.mu * state.c - state.c_prev
     if richardson:
-        omega = 2.0 / (1.0 + jnp.sqrt(1.0 - 1.0 / (mu * mu)))
+        omega = 2.0 / (1.0 + (1.0 - 1.0 / (coeffs.mu * coeffs.mu)) ** 0.5)
     else:
         omega = 2.0 * coeffs.mu * state.c / c_new
-    d_acc = (omega - 1.0) * state.d + omega * delta * u
+    d_acc = (omega - 1.0) * state.d + omega * coeffs.delta * u
     first = state.k == 0
     d = jnp.where(first, u, d_acc)
     return ChebyState(

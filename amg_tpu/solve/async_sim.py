@@ -177,13 +177,11 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
 
         corrections = jnp.zeros((L, n), dtype)
         new_lr = lr
-        read_cols = []
         for lvl in range(L):
             stale, col = read_stale(ring, lr[lvl], k, kreads[lvl])
             new_lr = new_lr.at[lvl].set(
                 jnp.where(fire[lvl], col, lr[lvl]).astype(jnp.int32)
             )
-            read_cols.append(col)
             if acfg.read_type == "sol":
                 r_stale = b - A0 @ stale
             else:
@@ -197,7 +195,6 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         # the sum itself commutes); reference shuffles level_perm
         perm = jax.random.permutation(kp, L)
         x = x + jnp.sum(corrections, axis=0)
-        del kreads
 
         # grid-wait statistics, evaluated in apply order: how many global
         # corrections landed between this level's consecutive applies —
@@ -220,7 +217,6 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         (gcorrect, apply_marks, gw), _ = jax.lax.scan(
             gw_body, (gcorrect, apply_marks, gw), perm
         )
-        del read_cols
 
         total_c = jnp.sum(corrections, axis=0)
         if acfg.res_mode == "update":

@@ -22,7 +22,6 @@ import numpy as np
 
 from amg_tpu.ops.pallas_stencil import (
     from_padded,
-    padded_shape,
     stencil_kernel_padded,
     to_padded,
 )

@@ -205,8 +205,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             ext_solve,
         )
 
-        explicit = opts.solver.endswith("explicit_ext_bpx") or opts.solver == "explicit_ext_bpx"
-        explicit = "explicit" in opts.solver and "implicit" not in opts.solver
+        explicit = "explicit" in opts.solver
         ext = build_extended_system(hh, params, explicit=explicit)
         A0 = hier.levels[0].A
         coeffs = estimate_cycle_eigs(
