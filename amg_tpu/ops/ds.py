@@ -123,10 +123,32 @@ def ell_matvec_comp(a, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return acc, comp
 
 
+def bsr_matvec_comp(a, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compensated BSR SpMV: block-gather once, then TwoProd + TwoSum over
+    the kb×bn scalar slots of each (row-block, row) — the exact blocked
+    analog of `ell_matvec_comp`. Returns (y_hi, y_err)."""
+    n, m = a.shape
+    bn = a.bn
+    ncb = -(-m // bn)
+    xp = jnp.pad(x, (0, ncb * bn - m)) if ncb * bn != m else x
+    g = xp.reshape(ncb, bn)[a.block_cols]  # (nrb, kb, bn)
+    acc = jnp.zeros((a.nrb, a.bm), x.dtype)
+    comp = jnp.zeros_like(acc)
+    for k in range(a.kb):
+        for j in range(bn):
+            term, perr = two_prod(a.blocks[:, k, :, j], g[:, k, None, j])
+            acc, e = two_sum(acc, term)
+            comp = comp + e + perr
+    acc, comp = acc.reshape(-1), comp.reshape(-1)
+    return acc[:n], comp[:n]
+
+
 def matvec_comp(A, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch the compensated matvec by operator type."""
     if hasattr(A, "cols"):  # ELLMatrix
         return ell_matvec_comp(A, x)
+    if hasattr(A, "block_cols"):  # BSRMatrix
+        return bsr_matvec_comp(A, x)
     return stencil_matvec_comp(A, x)
 
 

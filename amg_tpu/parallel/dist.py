@@ -65,6 +65,26 @@ def _shard_ell(m: Optional[ELLMatrix], mesh: Mesh) -> Optional[ELLMatrix]:
     )
 
 
+def _shard_op(m, mesh: Mesh):
+    """Row-partition a device operator (ELL or BSR) over the mesh. BSR shards
+    along the row-*block* axis (replicated when nrb doesn't divide — small
+    coarse levels only)."""
+    from amg_tpu.sparse.bsr import BSRMatrix
+
+    if m is None or isinstance(m, ELLMatrix):
+        return _shard_ell(m, mesh)
+    assert isinstance(m, BSRMatrix)
+    D = mesh.devices.size
+    ax = mesh.axis_names[0]
+    spec_bc = P(ax, None) if m.nrb % D == 0 else P()
+    spec_bl = P(ax, None, None, None) if m.nrb % D == 0 else P()
+    return BSRMatrix(
+        block_cols=jax.device_put(m.block_cols, NamedSharding(mesh, spec_bc)),
+        blocks=jax.device_put(m.blocks, NamedSharding(mesh, spec_bl)),
+        shape=m.shape,
+    )
+
+
 def _shard_smoother(sm: SmootherData, mesh: Mesh) -> SmootherData:
     rs = _row_sharding(mesh)
     D = mesh.devices.size
@@ -119,12 +139,15 @@ def build_dist_hierarchy(hh, params, mesh: Mesh):
     import jax.numpy as jnp_
     import numpy as np_
 
-    from amg_tpu.setup.hierarchy import Hierarchy as H, Level as L_
+    from amg_tpu.setup.hierarchy import Hierarchy as H, Level as L_, _format_converter
     from amg_tpu.smooth import make_smoother_data
-    from amg_tpu.sparse.ell import ell_from_csr
 
+    convert = _format_converter(params)
     D = mesh.devices.size
-    pad = lambda n: -(-n // D) * D
+    # BSR row-block sharding needs n % (bm*D) == 0; pad to 16*D (covers all
+    # auto-chosen tile heights) whenever a blocked format may be selected
+    unit = D if params.device_format == "ell" else 16 * D
+    pad = lambda n: -(-n // unit) * unit
     sizes = [lv.A.n_rows for lv in hh.levels]
     psizes = [pad(n) for n in sizes]
     levels = []
@@ -139,15 +162,13 @@ def build_dist_hierarchy(hh, params, mesh: Mesh):
             return (
                 None
                 if mtx is None
-                else ell_from_csr(
-                    _pad_csr(mtx, rows, cols), dtype=params.dtype
-                )
+                else convert(_pad_csr(mtx, rows, cols), params.dtype)
             )
         nf_pad = psizes[k]
         nc_pad = psizes[k + 1] if k + 1 < len(sizes) else None
         levels.append(
             L_(
-                A=ell_from_csr(A_pad, dtype=params.dtype),
+                A=convert(A_pad, params.dtype),
                 P=cv(hl.P, nf_pad, nc_pad),
                 R=cv(hl.R, nc_pad, nf_pad) if hl.R is not None else None,
                 P_s=cv(hl.P_s, nf_pad, nc_pad),
@@ -185,21 +206,23 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh) -> Hierarchy:
     Note: the fine level must be in ELL form for a sharded run (build the
     hierarchy with keep_stencil_fine=False); the stencil fast path has its own
     halo-exchange formulation (future work: Pallas remote-DMA stencil)."""
+    from amg_tpu.sparse.bsr import BSRMatrix
+
     levels = []
     for lv in hier.levels:
-        if not isinstance(lv.A, ELLMatrix):
+        if not isinstance(lv.A, (ELLMatrix, BSRMatrix)):
             raise ValueError(
-                "shard_hierarchy needs ELL operators on every level; "
+                "shard_hierarchy needs ELL/BSR operators on every level; "
                 "build with HierarchyParams(keep_stencil_fine=False)"
             )
         levels.append(
             Level(
-                A=_shard_ell(lv.A, mesh),
-                P=_shard_ell(lv.P, mesh),
-                R=_shard_ell(lv.R, mesh),
-                P_s=_shard_ell(lv.P_s, mesh),
-                R_s=_shard_ell(lv.R_s, mesh),
-                R_inj=_shard_ell(lv.R_inj, mesh),
+                A=_shard_op(lv.A, mesh),
+                P=_shard_op(lv.P, mesh),
+                R=_shard_op(lv.R, mesh),
+                P_s=_shard_op(lv.P_s, mesh),
+                R_s=_shard_op(lv.R_s, mesh),
+                R_inj=_shard_op(lv.R_inj, mesh),
                 sm=_shard_smoother(lv.sm, mesh),
             )
         )

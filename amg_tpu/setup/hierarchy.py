@@ -62,6 +62,13 @@ class HierarchyParams:
     build_smoothed_transfers: bool = True  # multadd P~/R~
     dtype: Any = jnp.float64
     keep_stencil_fine: bool = True  # level-0 stencil fast path when available
+    # device operator format: "ell" (scalar gather), "bsr" (blocked-ELL,
+    # gather amortized over bm×bn tiles), or "auto" (cost-model-chosen BSR
+    # tile on TPU — 7-81x faster than ELL, measured; ELL on CPU)
+    device_format: str = "auto"
+    bsr_bm: int = 8
+    bsr_bn: int = 8
+    bsr_max_blowup: float = 40.0  # fixed-tile mode: max padded/nnz ratio
 
 
 class Level(NamedTuple):
@@ -201,6 +208,35 @@ def build_host_hierarchy(A: CSRMatrix, params: HierarchyParams) -> HostHierarchy
     return hh
 
 
+def _format_converter(params: HierarchyParams):
+    """Pick the device operator format (SURVEY §7: blocked-ELL for the
+    gather-bound unstructured path). Returns csr→device-matrix callable."""
+    from amg_tpu.sparse.bsr import bsr_fill_stats, bsr_from_csr, choose_bsr_shape
+
+    fmt = params.device_format
+    if fmt == "auto":
+        import jax
+
+        fmt = "bsr_auto" if jax.default_backend() not in ("cpu",) else "ell"
+
+    def convert(m, dtype):
+        if m is None:
+            return None
+        if fmt == "bsr_auto":
+            shape, _ = choose_bsr_shape(m)
+            if shape is not None:
+                return bsr_from_csr(m, bm=shape[0], bn=shape[1], dtype=dtype)
+        elif fmt == "bsr":
+            st = bsr_fill_stats(m, bm=params.bsr_bm, bn=params.bsr_bn)
+            if st["blowup"] <= params.bsr_max_blowup:
+                return bsr_from_csr(
+                    m, bm=params.bsr_bm, bn=params.bsr_bn, dtype=dtype
+                )
+        return ell_from_csr(m, dtype=dtype)
+
+    return convert
+
+
 def device_hierarchy(
     hh: HostHierarchy,
     params: HierarchyParams,
@@ -208,6 +244,7 @@ def device_hierarchy(
 ) -> Hierarchy:
     levels = []
     dtype = params.dtype
+    convert = _format_converter(params)
     for k, hl in enumerate(hh.levels):
         if k == 0 and fine_stencil is not None and params.keep_stencil_fine:
             A_dev: Any = StencilOperator(
@@ -216,7 +253,7 @@ def device_hierarchy(
                 grid_shape=fine_stencil.grid_shape,
             )
         else:
-            A_dev = ell_from_csr(hl.A, dtype=dtype)
+            A_dev = convert(hl.A, dtype)
         sm = make_smoother_data(
             hl.A,
             params.smoother,
@@ -224,15 +261,14 @@ def device_hierarchy(
             block_size=params.block_size,
             dtype=dtype,
         )
-        to_ell = lambda m: None if m is None else ell_from_csr(m, dtype=dtype)
         levels.append(
             Level(
                 A=A_dev,
-                P=to_ell(hl.P),
-                R=to_ell(hl.R),
-                P_s=to_ell(hl.P_s),
-                R_s=to_ell(hl.R_s),
-                R_inj=to_ell(hl.R_inj),
+                P=convert(hl.P, dtype),
+                R=convert(hl.R, dtype),
+                P_s=convert(hl.P_s, dtype),
+                R_s=convert(hl.R_s, dtype),
+                R_inj=convert(hl.R_inj, dtype),
                 sm=sm,
             )
         )

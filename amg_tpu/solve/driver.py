@@ -91,16 +91,18 @@ def solve(
     if accel in ("cheby", "richardson") and cheby_coeffs is None:
         raise ValueError("accelerated solve needs cheby_coeffs (see cheby_setup)")
     if outer == "pcg":
-        A0 = hier.levels[0].A
-
-        def precond(r):
-            return cycle_step(hier, cfg, jnp.zeros_like(r), r)
-
+        # hier must be a jit *argument* (not a closure): closed-over device
+        # arrays are embedded as HLO constants and shipped with the program
         res = jax.jit(
-            lambda b_, x0_: pcg(
-                lambda v: A0 @ v, precond, b_, x0_, tol=tol, max_iters=max_cycles
+            lambda h_, b_, x0_: pcg(
+                lambda v: h_.levels[0].A @ v,
+                lambda r: cycle_step(h_, cfg, jnp.zeros_like(r), r),
+                b_,
+                x0_,
+                tol=tol,
+                max_iters=max_cycles,
             )
-        )(b, x0)
+        )(hier, b, x0)
         return SolveResult(
             x=res.x, iters=res.iters, rel_resnorm=res.rel_resnorm, history=res.history
         )

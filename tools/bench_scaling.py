@@ -51,16 +51,16 @@ def main():
             jnp.asarray(np.random.default_rng(0).random(prob.n)), pad_info, mesh
         )
         cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
-        vc = jax.jit(lambda x, b: mult_vcycle(hier, cfg, x, b))
+        vc = jax.jit(lambda h, x, b: mult_vcycle(h, cfg, x, b))
         x = jnp.zeros_like(b)
-        z = vc(x, b)
+        z = vc(hier, x, b)
         jax.block_until_ready(z)
         # marginal cost over chained cycles
         def run(k):
             zz = x
             t0 = time.perf_counter()
             for _ in range(k):
-                zz = vc(zz, b)
+                zz = vc(hier, zz, b)
             jax.block_until_ready(zz)
             return time.perf_counter() - t0
 
