@@ -157,6 +157,7 @@ def build_dist_hierarchy(hh, params, mesh: Mesh):
         sm = make_smoother_data(
             A_pad, params.smoother, w=hl.weight,
             block_size=params.block_size, dtype=params.dtype,
+            jgs_weight=getattr(params, "jgs_weight", None),
         )
         def cv(mtx, rows, cols):
             return (

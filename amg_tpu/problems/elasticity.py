@@ -150,6 +150,41 @@ def elasticity_beam(
     f = np.zeros(node_id.size * d, dtype=SETUP_DTYPE)
     end_nodes = node_id[-1].reshape(-1)
     f[end_nodes * d + (d - 1)] = -load
+
+    # rigid body modes (near-nullspace candidates for aggregation AMG):
+    # d translations + d(d-1)/2 rotations, evaluated at the node coordinates
+    # and restricted to the free dofs
+    axes = [np.arange(p) * hh for p, hh in zip(npts, h)]
+    coords = np.stack(
+        np.meshgrid(*axes, indexing="ij"), axis=-1
+    ).reshape(-1, d)
+    B = rigid_body_modes(coords)
     return Problem(
-        name="elasticity", A=A_red, stencil=None, grid_shape=None, rhs=f[free]
+        name="elasticity",
+        A=A_red,
+        stencil=None,
+        grid_shape=None,
+        rhs=f[free],
+        near_nullspace=B[free],
+        num_functions=d,
     )
+
+
+def rigid_body_modes(coords: np.ndarray) -> np.ndarray:
+    """Rigid body modes of a d-dimensional elastic body with nodes at
+    `coords` (n_nodes, d): translations + infinitesimal rotations, as an
+    (n_nodes*d, d + d(d-1)/2) dof-interleaved candidate matrix."""
+    nn, d = coords.shape
+    nrot = d * (d - 1) // 2
+    B = np.zeros((nn * d, d + nrot), dtype=coords.dtype)
+    for i in range(d):
+        B[i::d, i] = 1.0  # translations
+    c = coords - coords.mean(axis=0)
+    k = d
+    for i in range(d):
+        for j in range(i + 1, d):
+            # rotation in the (i, j) plane: u_i = -x_j, u_j = x_i
+            B[i::d, k] = -c[:, j]
+            B[j::d, k] = c[:, i]
+            k += 1
+    return B

@@ -35,6 +35,10 @@ class Problem:
     stencil: Optional[StencilOperator]  # None for variable-coefficient/FEM
     grid_shape: Optional[Tuple[int, ...]]
     rhs: Optional[object] = None
+    # near-nullspace candidates (n, k) for aggregation-based setup: rigid
+    # body modes for elasticity, constants for scalar problems
+    near_nullspace: Optional[object] = None
+    num_functions: int = 1
 
     @property
     def n(self) -> int:

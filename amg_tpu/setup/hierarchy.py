@@ -69,6 +69,15 @@ class HierarchyParams:
     bsr_bm: int = 8
     bsr_bn: int = 8
     bsr_max_blowup: float = 40.0  # fixed-tile mode: max padded/nnz ratio
+    # setup family: "classical" (PMIS/HMIS + ext+i, the reference's hypre
+    # path) or "sa" (smoothed aggregation with near-nullspace candidates —
+    # required for elasticity-class problems; see setup/aggregation.py)
+    setup_type: str = "classical"
+    sa_theta: float = 0.0  # SA symmetric strength threshold
+    sa_omega: float = 4.0 / 3.0  # prolongator smoothing: omega/rho(Dinv A)
+    # hybrid-JGS damping: None = undamped, "auto" = damp only if the sweep
+    # diverges (1/rho(M^-1 A)), or an explicit float weight
+    jgs_weight: Any = "auto"
 
 
 class Level(NamedTuple):
@@ -260,6 +269,7 @@ def device_hierarchy(
             w=hl.weight,
             block_size=params.block_size,
             dtype=dtype,
+            jgs_weight=params.jgs_weight,
         )
         levels.append(
             Level(
@@ -281,7 +291,15 @@ def build_hierarchy(
     A: CSRMatrix,
     params: HierarchyParams = HierarchyParams(),
     fine_stencil: Optional[StencilOperator] = None,
+    near_nullspace=None,
 ) -> Tuple[HostHierarchy, Hierarchy]:
-    """Full setup: host hierarchy + device pytree. Returns (host, device)."""
-    hh = build_host_hierarchy(A, params)
+    """Full setup: host hierarchy + device pytree. Returns (host, device).
+    params.setup_type selects classical vs smoothed-aggregation setup;
+    `near_nullspace` feeds the SA candidates (e.g. Problem.near_nullspace)."""
+    if params.setup_type == "sa":
+        from amg_tpu.setup.aggregation import build_sa_host_hierarchy
+
+        hh = build_sa_host_hierarchy(A, params, B=near_nullspace)
+    else:
+        hh = build_host_hierarchy(A, params)
     return hh, device_hierarchy(hh, params, fine_stencil)

@@ -80,6 +80,7 @@ def make_smoother_data(
     w: float = 1.0,
     block_size: int = 128,
     dtype=jnp.float64,
+    jgs_weight=None,
 ) -> SmootherData:
     """Precompute SmootherData from the host CSR matrix at setup time
     (the analog of the reference's scale arrays, src/DMEM_Setup.cpp:391-485)."""
@@ -115,8 +116,45 @@ def make_smoother_data(
                 out[b] = np.linalg.inv(tgt)
             return out
 
-        block_inv = jnp.asarray(tri_inverses(upper=False), dtype=dtype)
-        block_inv_bwd = jnp.asarray(tri_inverses(upper=True), dtype=dtype)
+        inv_fwd = tri_inverses(upper=False)
+        inv_bwd = tri_inverses(upper=True)
+        # hybrid JGS is block-Jacobi across blocks and only *conditionally*
+        # convergent (diverges on elasticity-class matrices); jgs_weight
+        # damps it: du = w_jgs * (D+L_blk)^-1 r. "auto" = 1/rho(M^-1 A) by
+        # host power iteration (the analog of hypre's relax weight the
+        # reference exposes as -smooth_weight, src/SMEM_Main.cpp:409-428).
+        if jgs_weight == "auto":
+            rng = np.random.default_rng(0)
+            s_op = A_csr.to_scipy()
+
+            def apply_MinvA(v):
+                y = s_op @ v
+                yp = np.zeros(nblocks * bs)
+                yp[:n] = y
+                yp = yp.reshape(nblocks, bs)
+                return np.einsum("bij,bj->bi", inv_fwd, yp).reshape(-1)[:n]
+
+            def rho_power(apply_fn, iters=50):
+                x = rng.standard_normal(n)
+                lam = 0.0
+                for _ in range(iters):
+                    y = apply_fn(x)
+                    nrm = np.linalg.norm(y)
+                    if nrm == 0.0:
+                        return 0.0
+                    lam = nrm / np.linalg.norm(x)
+                    x = y / nrm
+                return lam
+
+            rho_E = rho_power(lambda v: v - apply_MinvA(v))
+            if rho_E <= 1.02:
+                jgs_w = 1.0  # already convergent: exact undamped semantics
+            else:
+                jgs_w = 1.0 / max(rho_power(apply_MinvA), 1.0)
+        else:
+            jgs_w = 1.0 if jgs_weight is None else float(jgs_weight)
+        block_inv = jnp.asarray(jgs_w * inv_fwd, dtype=dtype)
+        block_inv_bwd = jnp.asarray(jgs_w * inv_bwd, dtype=dtype)
     return SmootherData(
         scale=jnp.asarray(scale, dtype=dtype),
         inv_wscale=jnp.asarray(w / scale, dtype=dtype),
