@@ -39,6 +39,9 @@ class Problem:
     # body modes for elasticity, constants for scalar problems
     near_nullspace: Optional[object] = None
     num_functions: int = 1
+    # problem-specific auxiliary operators (e.g. Maxwell's discrete gradient
+    # for the AMS preconditioner)
+    aux: Optional[dict] = None
 
     @property
     def n(self) -> int:

@@ -142,6 +142,39 @@ def maxwell_curlcurl(
 
     A_red = A[keep][:, keep].tocsr()
 
+    # discrete gradient G: nodes → edges (signed incidence / h). The exact
+    # sequence C @ G = 0 makes G the map whose range is the curl-curl
+    # near-nullspace — the auxiliary-space (Hiptmair/AMS) preconditioner
+    # needs it (amg_tpu.solve.ams). PEC: potentials vanish on the whole
+    # boundary, so keep interior nodes only.
+    grows, gcols, gvals = [], [], []
+    node_shape = (npts, npts, npts)
+    for d in range(3):
+        es = eshapes[d]
+        eidx = np.stack(
+            np.meshgrid(*[np.arange(s) for s in es], indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+        eid = eoff[d] + np.arange(eidx.shape[0])
+        lo = eidx
+        hi = eidx.copy()
+        hi[:, d] += 1
+        for nidx, sign in ((hi, +1.0), (lo, -1.0)):
+            grows.append(eid)
+            gcols.append(np.ravel_multi_index(tuple(nidx.T), node_shape))
+            gvals.append(np.full(eid.shape, sign / h))
+    G = sp.coo_matrix(
+        (
+            np.concatenate(gvals),
+            (np.concatenate(grows), np.concatenate(gcols)),
+        ),
+        shape=(n_edges, int(np.prod(node_shape))),
+    ).tocsr()
+    nidx = np.stack(
+        np.meshgrid(*[np.arange(npts)] * 3, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    interior = ((nidx > 0) & (nidx < npts - 1)).all(axis=1)
+    G_red = CSRMatrix.from_scipy(G[keep][:, interior].tocsr())
+
     # smooth rhs sampled at interior edge midpoints (x-edges get the field)
     f = np.zeros(n_edges)
     es = eshapes[0]
@@ -158,4 +191,5 @@ def maxwell_curlcurl(
         stencil=None,
         grid_shape=None,
         rhs=f[keep],
+        aux={"G": G_red},
     )

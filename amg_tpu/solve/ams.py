@@ -1,0 +1,123 @@
+"""Auxiliary-space (Hiptmair/AMS-style) preconditioner for curl-curl systems.
+
+The reference feeds its MFEM Maxwell problem (src/Maxwell.cpp:50-208)
+straight into BoomerAMG, which converges poorly: the curl-curl operator's
+near-nullspace is the whole range of the discrete gradient G (C @ G = 0 by
+the exact sequence), and nodal AMG cannot see it in the edge unknowns. The
+standard cure (hypre's AMS / Hiptmair's hybrid smoother) corrects in the
+potential space explicitly. This module implements the additive variant:
+
+    M^-1 r  =  w S^-1 r  +  G · B_n( G^T r )
+
+where w S^-1 is one (SPD) weighted Jacobi/L1 sweep on the edge operator and
+B_n is one AMG V-cycle on the nodal operator A_n = G^T A G (for the lumped
+lowest-order discretization A_n = sigma·vol·(node Laplacian) — the exact
+sequence kills the curl term). M is SPD, so it drives PCG.
+
+Everything device-side is jittable: G converts to the gather-amortized
+device formats and the nodal cycle is the ordinary hierarchy apply — so the
+preconditioner inherits sharding/BSR/async machinery for free.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from amg_tpu.setup.hierarchy import (
+    Hierarchy,
+    HierarchyParams,
+    build_hierarchy,
+)
+from amg_tpu.solve.cycles import CycleConfig, CycleType, mult_vcycle
+from amg_tpu.sparse.csr import CSRMatrix
+
+
+class AMSData(NamedTuple):
+    """Device-side preconditioner state (a pytree)."""
+
+    G: object  # edges × nodes device matrix
+    Gt: object  # nodes × edges
+    inv_wscale: jnp.ndarray  # edge smoother w / scale
+    node_hier: Hierarchy  # AMG hierarchy on G^T A G
+
+
+def build_ams(
+    A_edge: CSRMatrix,
+    G: CSRMatrix,
+    params: HierarchyParams | None = None,
+    smoother_weight: float | None = None,
+) -> tuple:
+    """Set up the AMS preconditioner. Returns (AMSData, node CycleConfig).
+
+    `G` is the discrete gradient (e.g. Problem.aux['G'] from
+    amg_tpu.problems.maxwell)."""
+    import scipy.sparse as sp
+
+    from amg_tpu.setup.hierarchy import _format_converter
+    from amg_tpu.setup.rap import estimate_rho_dinv_a
+
+    if params is None:
+        params = HierarchyParams(keep_stencil_fine=False)
+    # nodal operator A_n = G^T A G (host SpGEMM, setup-time)
+    As = A_edge.to_scipy().tocsr()
+    Gs = G.to_scipy().tocsr()
+    A_n = CSRMatrix.from_scipy((Gs.T @ (As @ Gs)).tocsr())
+    _, node_hier = build_hierarchy(A_n, params)
+
+    # SPD edge smoother term: w * scale^-1 with w = 1/rho(S^-1 A)
+    scale = A_edge.l1_row_norms()
+    scale = np.where(scale == 0.0, 1.0, scale)
+    if smoother_weight is None:
+        smoother_weight = 1.0 / max(
+            estimate_rho_dinv_a(A_edge, seed=params.seed, scale=scale), 1e-12
+        )
+    convert = _format_converter(params)
+    data = AMSData(
+        G=convert(G, params.dtype),
+        Gt=convert(G.transpose(), params.dtype),
+        inv_wscale=jnp.asarray(smoother_weight / scale, dtype=params.dtype),
+        node_hier=node_hier,
+    )
+    cfg = CycleConfig(cycle=CycleType.MULT, smoother=params.smoother)
+    return data, cfg
+
+
+def ams_precondition(
+    ams: AMSData, cfg: CycleConfig, r: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply M^-1 r = w S^-1 r + G Vcycle(G^T r). Jittable."""
+    e_smooth = ams.inv_wscale * r
+    r_n = ams.Gt @ r
+    e_n = mult_vcycle(ams.node_hier, cfg, jnp.zeros_like(r_n), r_n)
+    return e_smooth + ams.G @ e_n
+
+
+def solve_ams_pcg(
+    A_dev,
+    ams: AMSData,
+    cfg: CycleConfig,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    tol: float = 1e-8,
+    max_iters: int = 200,
+):
+    """PCG on the edge system with the AMS preconditioner."""
+    import jax
+
+    from amg_tpu.solve.krylov import pcg
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    return jax.jit(
+        lambda A_, ams_, b_, x0_: pcg(
+            lambda v: A_ @ v,
+            lambda r: ams_precondition(ams_, cfg, r),
+            b_,
+            x0_,
+            tol=tol,
+            max_iters=max_iters,
+        )
+    )(A_dev, ams, b, x0)
