@@ -59,7 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("-simple_jacobi", action="store_true")
     a("-multiple_interpolants", dest="one_interpolant", action="store_false")
     a("-accel", default=d.accel, choices=("none", "cheby", "richardson"))
-    a("-outer_solver", default=d.outer_solver, choices=("none", "pcg"))
+    a("-outer_solver", default=d.outer_solver,
+      choices=("none", "pcg", "ams_pcg"))
+    a("-setup_type", default=d.setup_type, choices=("classical", "sa"))
+    a("-device_format", default=d.device_format,
+      choices=("ell", "bsr", "auto"))
     a("-cheby_power_iters", type=int, default=d.cheby_power_iters)
     a("-async_type", default=d.async_type, choices=("full", "semi"))
     a("-read_type", default=d.read_type, choices=("sol", "res"))

@@ -62,6 +62,11 @@ class SolverOptions:
     smooth_weight: Optional[float] = None
     block_size: int = 128
     seed: int = 0
+    # setup family: classical (PMIS/HMIS+ext+i) or sa (smoothed aggregation
+    # with near-nullspace candidates — elasticity-class problems)
+    setup_type: str = "classical"
+    # device operator format: ell | bsr | auto (cost-model BSR on TPU)
+    device_format: str = "auto"
 
     # solver (reference: -solver, -smoother, -num_cycles, -tol, -sweeps)
     solver: str = "mult"
@@ -76,9 +81,11 @@ class SolverOptions:
     simple_jacobi: bool = False  # -simple_jacobi
     one_interpolant: bool = True  # smoothed-transfer multadd chains
 
-    # acceleration / outer (reference: -cheby, -richard, -outer_solver pcg)
+    # acceleration / outer (reference: -cheby, -richard, -outer_solver pcg);
+    # ams_pcg = PCG with the auxiliary-space (Hiptmair/AMS) preconditioner
+    # (curl-curl problems carrying a discrete gradient in Problem.aux)
     accel: str = "none"  # none | cheby | richardson
-    outer_solver: str = "none"  # none | pcg
+    outer_solver: str = "none"  # none | pcg | ams_pcg
     cheby_power_iters: int = 20
 
     # async execution (reference: -sim_read_delay, -sim_grid_wait, async/semi)

@@ -105,6 +105,8 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         smooth_weight=opts.smooth_weight,
         block_size=opts.block_size,
         keep_stencil_fine=(opts.num_devices <= 1),
+        setup_type=opts.setup_type,
+        device_format=opts.device_format,
     )
     mesh = None
     if opts.hierarchy == "structured":
@@ -131,11 +133,23 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
 
         from amg_tpu.setup.hierarchy import build_host_hierarchy
 
-        hh = build_host_hierarchy(prob.A, params)
+        if params.setup_type == "sa":
+            from amg_tpu.setup.aggregation import build_sa_host_hierarchy
+
+            hh = build_sa_host_hierarchy(
+                prob.A, params, B=getattr(prob, "near_nullspace", None)
+            )
+        else:
+            hh = build_host_hierarchy(prob.A, params)
         mesh = make_row_mesh(opts.num_devices)
         hier, pad_info = build_dist_hierarchy(hh, params, mesh)
     else:
-        hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+        hh, hier = build_hierarchy(
+            prob.A,
+            params,
+            fine_stencil=prob.stencil,
+            near_nullspace=getattr(prob, "near_nullspace", None),
+        )
     hstats = hh.stats()
     stats.n, stats.nnz = prob.n, prob.A.nnz
     stats.num_levels = hstats["num_levels"]
@@ -260,6 +274,21 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         A64 = hier.levels[0].A  # CPU f64 path reuses; TPU path uses ds
         res = mixed_solve(
             hier, A64, cfg, b, x0, tol=opts.tol, max_cycles=opts.num_cycles
+        )
+        gw = None
+    elif opts.outer_solver == "ams_pcg":
+        # auxiliary-space PCG (curl-curl): needs the problem's discrete
+        # gradient (amg_tpu.solve.ams)
+        if not (prob.aux and "G" in prob.aux):
+            raise ValueError("ams_pcg needs a problem with aux['G']")
+        from amg_tpu.setup.hierarchy import _format_converter
+        from amg_tpu.solve.ams import build_ams, solve_ams_pcg
+
+        ams, node_cfg = build_ams(prob.A, prob.aux["G"], params=None)
+        A_dev = _format_converter(params)(prob.A, params.dtype)
+        res = solve_ams_pcg(
+            A_dev, ams, node_cfg, b, x0, tol=opts.tol,
+            max_iters=opts.num_cycles,
         )
         gw = None
     else:
