@@ -92,45 +92,80 @@ def _sweep_kernel(
       "sweep_vec" u + scale*(b - A u)             (streamed scale input)
     """
     if mode == "sweep_vec":
-        scale_ref, out_ref, scratch, acc_ref, sem = rest
+        scale_ref, out_ref, bufs, acc_ref, sem = rest
     else:
-        out_ref, scratch, acc_ref, sem = rest
+        out_ref, bufs, acc_ref, sem = rest
         scale_ref = None
     g = pl.program_id(0)
     Yr, Xr = b_ref.shape[1], b_ref.shape[2]
 
-    # scratch row s holds global z row g*T - 1 + s (s in [0, T+2))
+    # Double-buffered cross-iteration prefetch of the u slab: at iteration g
+    # the slab for g was started at g-1 (or at g==0 for itself), and the
+    # slab for g+1 is started now — so the u DMA overlaps this iteration's
+    # compute instead of serializing in front of it. bufs row s of buffer k
+    # holds global z row j*T - 1 + s for the slab j with j%2 == k.
+    def dma_mid(j, k):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T, T)],
+            bufs.at[k, pl.ds(1, T)],
+            sem.at[k, jnp.int32(0)],
+        )
+
+    def dma_top(j, k):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T - 1, 1)],
+            bufs.at[k, pl.ds(0, 1)],
+            sem.at[k, jnp.int32(1)],
+        )
+
+    def dma_bot(j, k):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T + T, 1)],
+            bufs.at[k, pl.ds(T + 1, 1)],
+            sem.at[k, jnp.int32(2)],
+        )
+
+    def start_slab(j, k):
+        dma_mid(j, k).start()
+
+        @pl.when(j > 0)
+        def _():
+            dma_top(j, k).start()
+
+        @pl.when(j == 0)
+        def _():
+            bufs[k, 0:1, :, :] = jnp.zeros((1, Yr, Xr), bufs.dtype)
+
+        @pl.when(j < G - 1)
+        def _():
+            dma_bot(j, k).start()
+
+        @pl.when(j == G - 1)
+        def _():
+            bufs[k, T + 1 : T + 2, :, :] = jnp.zeros((1, Yr, Xr), bufs.dtype)
+
+    def wait_slab(j, k):
+        dma_mid(j, k).wait()
+
+        @pl.when(j > 0)
+        def _():
+            dma_top(j, k).wait()
+
+        @pl.when(j < G - 1)
+        def _():
+            dma_bot(j, k).wait()
+
     @pl.when(g == 0)
     def _():
-        scratch[0:1, :, :] = jnp.zeros((1, Yr, Xr), scratch.dtype)
+        start_slab(jnp.int32(0), jnp.int32(0))
 
-    @pl.when(g == G - 1)
+    @pl.when(g + 1 < G)
     def _():
-        scratch[T + 1 : T + 2, :, :] = jnp.zeros((1, Yr, Xr), scratch.dtype)
+        start_slab(g + 1, (g + 1) % 2)
 
-    z0 = g * T
-    mid = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(z0, T)], scratch.at[pl.ds(1, T)], sem.at[jnp.int32(0)]
-    )
-    mid.start()
-
-    @pl.when(g > 0)
-    def _():
-        top = pltpu.make_async_copy(
-            u_hbm.at[pl.ds(z0 - 1, 1)], scratch.at[pl.ds(0, 1)], sem.at[jnp.int32(1)]
-        )
-        top.start()
-        top.wait()
-
-    @pl.when(g < G - 1)
-    def _():
-        bot = pltpu.make_async_copy(
-            u_hbm.at[pl.ds(z0 + T, 1)], scratch.at[pl.ds(T + 1, 1)], sem.at[jnp.int32(2)]
-        )
-        bot.start()
-        bot.wait()
-
-    mid.wait()
+    k_cur = g % 2
+    wait_slab(g, k_cur)
+    scratch = bufs.at[k_cur]
 
     # Taps on the FLAT 2-D view: scratch flattened to ((T+2)*Yr, Xr) makes
     # every (dz, dy) shift a single row-offset read — shift s = (1+dz)*Yr+dy,
@@ -259,9 +294,9 @@ def _stencil_kernel_impl(
         in_specs=in_specs,
         out_specs=blk(),
         scratch_shapes=[
-            pltpu.VMEM((T + 2, Yr, Xr), u_pad.dtype),
+            pltpu.VMEM((2, T + 2, Yr, Xr), u_pad.dtype),  # double-buffered u
             pltpu.VMEM((T, Yr, Xr), u_pad.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )(*args)
 

@@ -37,7 +37,10 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     dtype = jnp.float32 if on_tpu else jnp.float64
-    n_side = 16 if smoke else (160 if on_tpu else 48)
+    # 190: Y+2=192 is sublane-tight and X+2=192 packs the 256-lane rows at
+    # 75% (vs 63% at 160) — the padded layout's bandwidth waste is the
+    # denominator of the roofline fraction
+    n_side = 16 if smoke else (190 if on_tpu else 48)
 
     prob = laplacian_3d_27pt(n_side)
     nnz = prob.stencil.nnz_exact()
@@ -93,7 +96,9 @@ def main():
     reps = 1 if smoke else 5
     t0 = min(chained(k0) for _ in range(reps))
     t1 = min(chained(k1) for _ in range(reps))
-    per_sweep = max((t1 - t0) / (k1 - k0), 1e-12)
+    per_sweep = (t1 - t0) / (k1 - k0)
+    if per_sweep <= 0:  # timing noise on tiny smoke problems
+        per_sweep = t1 / k1
     nnz_per_s = nnz / per_sweep
 
     bw = {"cpu": 50e9}.get(backend, 819e9)  # v5e HBM ~819 GB/s
