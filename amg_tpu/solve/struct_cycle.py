@@ -136,13 +136,20 @@ def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
         x_pad, k, relnorm, hist = state
         x_pad = struct_vcycle(hier, cfg, spec, x_pad, b_pad)
         r_pad = _fine(spec, "residual", x_pad, b_pad)
-        relnorm = jnp.linalg.norm(r_pad.reshape(-1)) / safe_r0
-        hist = hist.at[k + 1].set(relnorm)
-        return (x_pad, k + 1, relnorm, hist)
+        new = jnp.linalg.norm(r_pad.reshape(-1)) / safe_r0
+        hist = hist.at[k + 1].set(new)
+        return (x_pad, k + 1, new, hist)
 
     def cond(state):
-        _, k, relnorm, _ = state
-        return (k < max_cycles) & (relnorm > tol)
+        _, k, relnorm, hist = state
+        # stagnation guard: in f32 the achievable relative residual floors
+        # around ~1e-5 at ~1e6 dofs — stop when a cycle no longer reduces
+        # the residual by >1% instead of spinning to max_cycles (tighter
+        # tolerances route through amg_tpu.solve.mixed double-single
+        # refinement)
+        prev = jnp.where(k >= 1, hist[jnp.maximum(k - 1, 0)], jnp.inf)
+        stalled = (k >= 2) & (relnorm > 0.99 * prev)
+        return (k < max_cycles) & (relnorm > tol) & ~stalled
 
     state = (
         x_pad0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, b.dtype), hist0
