@@ -54,7 +54,11 @@ def _solve_loop(hier, cfg: CycleConfig, b, x0, tol, max_cycles, accel, coeffs):
 
     def cond(state):
         x, ch, it, relnorm, hist = state
-        return (it < max_cycles) & (relnorm > tol)
+        # divergence guard: stop once the residual has grown 1e3x above its
+        # starting norm (e.g. convection-dominated problems where the cycle
+        # amplifies — the reference just spins to num_cycles; we bail with
+        # the diverged norm reported honestly)
+        return (it < max_cycles) & (relnorm > tol) & (relnorm < 1e3)
 
     def body(state):
         x, ch, it, relnorm, hist = state
@@ -68,7 +72,7 @@ def _solve_loop(hier, cfg: CycleConfig, b, x0, tol, max_cycles, accel, coeffs):
         hist = hist.at[it + 1].set(relnorm)
         return (x_new, ch, it + 1, relnorm, hist)
 
-    state = (x0, cheby0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, b.dtype), hist0)
+    state = (x0, cheby0, jnp.asarray(0, jnp.int32), jnp.asarray(1.0, b.dtype), hist0)
     x, _, it, relnorm, hist = jax.lax.while_loop(cond, body, state)
     return SolveResult(x=x, iters=it, rel_resnorm=relnorm, history=hist)
 

@@ -1,0 +1,79 @@
+"""Parity odds-and-ends: nonsymmetric difconv solves, divergence guard,
+checkpoint/resume round-trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from amg_tpu.problems import difconv_3d
+from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+from amg_tpu.smooth import SmootherType
+from amg_tpu.solve import CycleConfig, CycleType, solve
+
+
+@pytest.mark.parametrize("atype,eps", [(0, 1.0), (2, 0.1)])
+def test_difconv_solve(atype, eps):
+    """Nonsymmetric diffusion-convection systems (the reference's -difconv
+    problems, src/BuildHypreMatrix.cpp:14-292) through classical AMG."""
+    p = difconv_3d(12, eps=eps, atype=atype)
+    params = HierarchyParams(
+        smoother=SmootherType.HYBRID_JGS,
+        keep_stencil_fine=False,
+        build_smoothed_transfers=False,
+    )
+    hh, hier = build_hierarchy(p.A, params)
+    cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.HYBRID_JGS)
+    b = jnp.asarray(np.random.default_rng(0).random(p.n))
+    res = solve(hier, cfg, b, tol=1e-8, max_cycles=100)
+    assert float(res.rel_resnorm) < 1e-8
+    assert int(res.iters) < 60
+
+
+def test_divergence_guard_stops_early():
+    """Convection-dominated upwind flow amplifies under this cycle — the
+    loop must bail instead of spinning to max_cycles."""
+    p = difconv_3d(12, eps=0.01, atype=3)
+    params = HierarchyParams(
+        smoother=SmootherType.HYBRID_JGS,
+        keep_stencil_fine=False,
+        build_smoothed_transfers=False,
+    )
+    hh, hier = build_hierarchy(p.A, params)
+    cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.HYBRID_JGS)
+    b = jnp.asarray(np.random.default_rng(0).random(p.n))
+    res = solve(hier, cfg, b, tol=1e-8, max_cycles=500)
+    if float(res.rel_resnorm) > 1.0:  # diverged: must have stopped early
+        assert int(res.iters) < 500
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from amg_tpu.utils.checkpoint import load_solve_state, save_solve_state
+
+    from amg_tpu.problems import laplacian_2d_5pt
+
+    p = laplacian_2d_5pt(16)
+    params = HierarchyParams()
+    hh, hier = build_hierarchy(p.A, params)
+    cfg = CycleConfig(cycle=CycleType.MULT)
+    b = jnp.asarray(np.random.default_rng(0).random(p.n))
+    res1 = solve(hier, cfg, b, tol=1e-4)
+    path = os.path.join(tmp_path, "state.npz")
+    save_solve_state(
+        path, res1.x, b, iters=int(res1.iters), history=res1.history,
+        meta={"problem": "5pt", "n": p.n},
+    )
+    st = load_solve_state(path)
+    assert st["meta"]["n"] == p.n
+    # resume from the checkpointed x (tol is relative to the warm r0, so
+    # the resumed solve reaches a much smaller *absolute* residual)
+    bb = jnp.asarray(st["b"])
+    res2 = solve(hier, cfg, bb, x0=jnp.asarray(st["x"]), tol=1e-8)
+    res_cold = solve(hier, cfg, b, tol=1e-8)
+    A0 = hier.levels[0].A
+    abs2 = float(jnp.linalg.norm(bb - A0 @ res2.x))
+    abs_cold = float(jnp.linalg.norm(b - A0 @ res_cold.x))
+    assert abs2 < abs_cold
+    assert float(res2.rel_resnorm) < 1e-8
