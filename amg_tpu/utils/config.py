@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 # solver taxonomy of the reference (Main.hpp:60-77), native names
-SYNC_SOLVERS = ("mult", "multadd", "afacx", "afacj", "bpx")
+SYNC_SOLVERS = ("mult", "multadd", "afacx", "afacj", "bpx", "par_bpx")
 ASYNC_SOLVERS = ("async_multadd", "async_afacx", "async_bpx")
 SMOOTH_SOLVERS = ("async_smooth",)  # one-level async relaxation (finest grid)
 EXT_SOLVERS = ("explicit_ext_bpx", "implicit_ext_bpx",
@@ -129,6 +129,11 @@ class SolverOptions:
 
     def fixup(self) -> "SolverOptions":
         """Derived-flag rules, as in the reference's post-parse fixups."""
+        if self.solver == "par_bpx":
+            # the reference's PAR_BPX = BPX flattened over the concatenated
+            # multilevel vector (src/SMEM_Sync_AMG.cpp:147-294) — here that
+            # IS the implicit extended system
+            self.solver = "implicit_ext_bpx"
         if self.solver in ("bpx",) + EXT_SOLVERS and self.accel == "none":
             # BPX-family additive operators need acceleration or PCG
             if self.outer_solver == "none":
