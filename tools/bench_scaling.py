@@ -1,3 +1,12 @@
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    # virtual CPU mesh requested: sitecustomize force-sets jax_platforms to
+    # "axon,cpu", so re-override AFTER importing jax (same trick as
+    # tests/conftest.py)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 """Weak-scaling harness: nnz/s for the distributed V-cycle at 1..N devices.
 
 Run on a TPU slice (or the virtual CPU mesh for plumbing checks):
