@@ -53,6 +53,14 @@ class AsyncConfig:
     async_type: str = "full"  # "full" (per-row staleness) | "semi" (per-level)
     sim_read_delay: int = 4  # staleness window in global steps
     fire_prob: float = 0.5  # per-level per-step firing probability
+    # Richardson under-relaxation applied to every applied correction: the
+    # async analog of the reference's outer Chebyshev/Richardson (the global
+    # 3-term recurrence is inconsistent with partial stale updates, so the
+    # reference keeps the recurrence on cheby_grid only and scales the other
+    # grids' corrections by omega*delta — reference: DMEM_ChebyUpdate,
+    # src/DMEM_Misc.cpp:612-666). omega = 2/(alpha+beta) from eig bounds of
+    # the synchronous additive operator, damped for staleness (see runner).
+    omega: float = 1.0
     # fault injection: levels in delay_levels fire with delay_prob instead
     delay_levels: Tuple[int, ...] = ()
     delay_prob: float = 0.5
@@ -194,7 +202,7 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         # apply in random order (order only affects grid-wait accounting —
         # the sum itself commutes); reference shuffles level_perm
         perm = jax.random.permutation(kp, L)
-        x = x + jnp.sum(corrections, axis=0)
+        x = x + acfg.omega * jnp.sum(corrections, axis=0)
 
         # grid-wait statistics, evaluated in apply order: how many global
         # corrections landed between this level's consecutive applies —
@@ -218,7 +226,7 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
             gw_body, (gcorrect, apply_marks, gw), perm
         )
 
-        total_c = jnp.sum(corrections, axis=0)
+        total_c = acfg.omega * jnp.sum(corrections, axis=0)
         if acfg.res_mode == "update":
             # incremental residual maintenance (no b - A x recompute)
             r_maint = r_state - A0 @ total_c

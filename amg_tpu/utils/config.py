@@ -134,10 +134,23 @@ class SolverOptions:
             # multilevel vector (src/SMEM_Sync_AMG.cpp:147-294) — here that
             # IS the implicit extended system
             self.solver = "implicit_ext_bpx"
-        if self.solver in ("bpx",) + EXT_SOLVERS and self.accel == "none":
-            # BPX-family additive operators need acceleration or PCG
+        if (
+            self.solver in ("bpx", "multadd", "afacx", "afacj") + EXT_SOLVERS
+            and self.accel == "none"
+        ):
+            # additive operators are poorly conditioned as stationary
+            # iterations — the reference runs them under Chebyshev/Richardson
+            # (src/DMEM_Misc.cpp:612-666); default the acceleration on so the
+            # CLI defaults converge
             if self.outer_solver == "none":
                 self.accel = "cheby"
+        if self.solver in ASYNC_SOLVERS and self.accel == "none":
+            # async additive paths cannot use the global Chebyshev recurrence
+            # (partial stale updates break the 3-term consistency, reference
+            # keeps d only on cheby_grid, src/DMEM_Misc.cpp:612-666) — use the
+            # stationary Richardson weight derived from the same eig bounds
+            if self.outer_solver == "none":
+                self.accel = "richardson"
         if self.solver in ASYNC_SOLVERS and self.solver.endswith("bpx"):
             self.read_type = "res"
         return self

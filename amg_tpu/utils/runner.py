@@ -236,6 +236,17 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         )
         gw = None
     elif opts.is_async():
+        omega = 1.0
+        if opts.accel in ("richardson", "cheby"):
+            # Richardson weight from eig bounds of the SYNC additive operator,
+            # damped for staleness. Measured on 5pt/32 multadd (per-row
+            # staleness, delay=4, fire_prob=0.5): 0.5x the synchronous optimum
+            # gives rho 0.87 where the undamped optimum diverges past 0.95 —
+            # stale per-row reads raise the effective operator norm, so the
+            # weight must back off, exactly as the reference damps its async
+            # grids' corrections by omega*delta (src/DMEM_Misc.cpp:612-666)
+            coeffs = cheby_setup(hier, cfg, num_iters=opts.cheby_power_iters)
+            omega = 0.5 * 2.0 / (coeffs.alpha + coeffs.beta)
         acfg = AsyncConfig(
             read_type=opts.read_type,
             async_type=opts.async_type,
@@ -246,6 +257,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             fail_level=opts.fail_level,
             fail_start=opts.fail_start,
             fail_duration=opts.fail_duration,
+            omega=omega,
         )
         res = async_solve(
             hier, cfg, acfg, b, x0,
