@@ -1,0 +1,323 @@
+"""Grid (level) parallelism mapped to device groups — the reference's core
+distributed design, realized on a jax device mesh.
+
+The reference splits MPI ranks into per-level communicators sized by a work
+model; each "grid group" redundantly owns its restricted operators and runs
+its additive cycle at its own rate, exchanging corrections through
+ACCUMULATE messages and terminating through a done-flag lattice fused into
+the residual-norm allreduce (reference: AssignProcs
+src/DMEM_Setup.cpp:1638-1759; DMEM_Add src/DMEM_Add.cpp:20-178;
+InnerProdFlag src/DMEM_Misc.cpp:414-433).
+
+TPU realization (this module): one `shard_map` over a 1-D mesh.
+
+  * level→device assignment comes from the same work model
+    (amg_tpu.parallel.partition.compute_level_work / assign_levels_to_devices);
+  * each device evaluates ONLY its assigned levels' additive corrections —
+    a `lax.switch` on `axis_index` whose branch d contains exactly device
+    d's levels, so the compiled program runs (and spends FLOPs on) just the
+    selected branch;
+  * the correction exchange is one `lax.psum` of the partial corrections —
+    the ACCUMULATE channel, ridden over ICI;
+  * termination is a fused (residual-norm partial, done-flag) `lax.psum` of
+    a stacked 2-vector per superstep — the InnerProdFlag analog: each
+    device contributes its row-range partial of ||r||^2 and its own done
+    flag, and the loop exits when the summed flags reach the device count;
+  * asynchrony is the bounded-staleness model of amg_tpu.solve.async_sim,
+    with an IDENTICAL PRNG stream — per-level firing draws and stale-read
+    columns are replicated scalars/vector draws, while the expensive reads
+    and corrections happen only on the owning device. A grid-parallel solve
+    therefore reproduces the async simulator's iterates to roundoff
+    (tested), while distributing the per-level work.
+
+Operator storage is replicated (every device holds the pytree, touches only
+its levels), matching the reference's redundant per-group ownership; the
+row-sharded path (amg_tpu.parallel.dist) is the orthogonal within-level
+axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from amg_tpu.parallel.partition import (
+    assign_levels_to_devices,
+    compute_level_work,
+)
+from amg_tpu.solve.async_sim import (
+    AsyncConfig,
+    AsyncResult,
+    GridWaitStats,
+    _fire_probs,
+)
+from amg_tpu.solve.cycles import CycleConfig, additive_correction
+
+
+def plan_grid_levels(
+    hh, num_devices: int, async_mode: bool = True, imbalance: float = 0.0,
+    smoothed_transfers: bool = False,
+):
+    """Work-model level→device plan. Returns (assignment, levels_of, scale)
+    where levels_of[d] is the tuple of levels device d computes and
+    scale[k] = 1/(group size of level k) so groups that share a level
+    contribute it exactly once after the psum (the reference's within-group
+    row partition collapses to redundant compute + scaling here)."""
+    work = compute_level_work(
+        hh, async_mode=async_mode, imbalance=imbalance,
+        smoothed_transfers=smoothed_transfers,
+    )
+    assignment = assign_levels_to_devices(work, num_devices)
+    levels_of = [[] for _ in range(num_devices)]
+    L = len(assignment)
+    scale = np.zeros(L)
+    for k, (s, e) in enumerate(assignment):
+        e = max(e, s + 1)
+        scale[k] = 1.0 / (e - s)
+        for d in range(s, min(e, num_devices)):
+            levels_of[d].append(k)
+    return assignment, tuple(tuple(ls) for ls in levels_of), scale
+
+
+def _stale_read_cols(acfg: AsyncConfig, n, lr_level, k, subkey):
+    """Replicated stale-read column draw — the exact RNG consumption of
+    async_sim.read_stale (per-row in FULL mode, scalar in SEMI)."""
+    low = jnp.maximum(jnp.maximum(k - acfg.sim_read_delay, 0), lr_level)
+    if acfg.async_type == "full":
+        u = jax.random.uniform(subkey, (n,))
+    else:
+        u = jax.random.uniform(subkey, ())
+    return jnp.round(low + u * (k - low)).astype(jnp.int32)
+
+
+def _gather_stale(acfg: AsyncConfig, ring, cols, n):
+    W = acfg.sim_read_delay + 1
+    if acfg.async_type == "full":
+        return ring[cols % W, jnp.arange(n)]
+    return ring[cols % W]
+
+
+def grid_parallel_solve(
+    hier,
+    cfg: CycleConfig,
+    acfg: AsyncConfig,
+    levels_of: Sequence[Sequence[int]],
+    level_scale,
+    mesh: Mesh,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    tol: float = 1e-8,
+    max_cycles: int = 500,
+) -> AsyncResult:
+    """Asynchronous additive solve with level parallelism over the mesh.
+
+    Semantically identical to amg_tpu.solve.async_sim.async_solve with the
+    same (acfg, key) — the PRNG stream is mirrored — but each device
+    computes only `levels_of[device]`'s corrections (reference:
+    src/DMEM_Add.cpp:180-329 per-grid AddCycle)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    assert len(levels_of) == D, "one level set per mesh device"
+    L = hier.num_levels
+    n = b.shape[0]
+    dtype = b.dtype
+    W = acfg.sim_read_delay + 1
+    probs = _fire_probs(acfg, L).astype(dtype)
+    scale = jnp.asarray(level_scale, dtype)
+    n_pad = -(-n // D) * D  # fused-norm partials use a (D, n_pad/D) view
+
+    def solve_body(hier_, b_, x0_, key_):
+        A0 = hier_.levels[0].A
+        d = jax.lax.axis_index(axis)
+
+        def norm_partial(r):
+            """This device's row-range partial of ||r||^2."""
+            r2 = jnp.pad(r * r, (0, n_pad - n)).reshape(D, n_pad // D)
+            return jax.lax.dynamic_slice_in_dim(r2, d, 1, 0).sum()
+
+        def fused_norm_flags(r, prev_rel):
+            """ONE psum carrying (norm partial, done flag) — the reference's
+            InnerProdFlag (src/DMEM_Misc.cpp:414-433): the flag lattice
+            rides the residual-norm reduction."""
+            flag = (prev_rel <= tol).astype(dtype)
+            stats = jax.lax.psum(
+                jnp.stack([norm_partial(r), flag]), axis
+            )
+            return stats[0], stats[1]
+
+        def level_correction(ring, cols, fire_lvl, lvl):
+            """Owner-only work: stale read (+ stale residual) + correction."""
+            stale = _gather_stale(acfg, ring, cols, n)
+            if acfg.read_type == "sol":
+                r_stale = b_ - A0 @ stale
+            else:
+                r_stale = stale
+            c = scale[lvl] * additive_correction(hier_, cfg, r_stale, lvl)
+            return jnp.where(fire_lvl, c, jnp.zeros_like(c))
+
+        def make_branch(my_levels):
+            def branch(op):
+                ring, cols_all, fire = op
+                c = jnp.zeros(n, dtype)
+                for lvl in my_levels:
+                    c = c + level_correction(
+                        ring, cols_all[lvl], fire[lvl], lvl
+                    )
+                return c
+
+            return branch
+
+        branches = [make_branch(ls) for ls in levels_of]
+
+        r0 = b_ - A0 @ x0_
+        r0norm = jnp.sqrt(jax.lax.psum(norm_partial(r0), axis))
+        safe_r0 = jnp.where(r0norm == 0.0, 1.0, r0norm)
+
+        snap0 = x0_ if acfg.read_type == "sol" else r0
+        ring0 = jnp.tile(snap0[None, :], (W, 1))
+        lr0 = jnp.zeros(
+            (L, n) if acfg.async_type == "full" else (L,), jnp.int32
+        )
+        gw0 = GridWaitStats(
+            total=jnp.zeros(L, dtype),
+            count=jnp.zeros(L, jnp.int32),
+            min=jnp.full(L, jnp.inf, dtype),
+            max=jnp.full(L, -jnp.inf, dtype),
+        )
+        hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=dtype)
+        hist0 = hist0.at[0].set(1.0)
+
+        def body(state):
+            (x, ring, lr, gw, marks, gcorr, r_state, k, relnorm, nflags,
+             hist, key_s) = state
+            key_s, kf, kp, *kreads = jax.random.split(key_s, 3 + L)
+            fire = jax.random.uniform(kf, (L,), dtype) < probs
+            if acfg.fail_level >= 0:
+                in_w = (k >= acfg.fail_start) & (
+                    k < acfg.fail_start + acfg.fail_duration
+                )
+                fire = fire.at[acfg.fail_level].set(
+                    jnp.where(in_w, False, fire[acfg.fail_level])
+                )
+            # replicated stale-read columns per level (same stream as sim)
+            cols_all = []
+            new_lr = lr
+            for lvl in range(L):
+                cols = _stale_read_cols(acfg, n, lr[lvl], k, kreads[lvl])
+                cols_all.append(cols)
+                new_lr = new_lr.at[lvl].set(
+                    jnp.where(fire[lvl], cols, lr[lvl]).astype(jnp.int32)
+                )
+            cols_all = jnp.stack(cols_all)
+
+            # owner-only corrections; psum = the ACCUMULATE exchange
+            c_part = jax.lax.switch(d, branches, (ring, cols_all, fire))
+            total_c = acfg.omega * jax.lax.psum(c_part, axis)
+            x = x + total_c
+
+            # grid-wait accounting in random apply order (replicated;
+            # reference: src/SMEM_Async_AMG.cpp:242-255)
+            perm = jax.random.permutation(kp, L)
+
+            def gw_body(carry, p):
+                gcount, mk, g = carry
+                f = fire[p]
+                wait = (gcount - mk[p]).astype(dtype)
+                g = GridWaitStats(
+                    total=g.total.at[p].add(jnp.where(f, wait, 0.0)),
+                    count=g.count.at[p].add(jnp.where(f, 1, 0)),
+                    min=g.min.at[p].min(jnp.where(f, wait, jnp.inf)),
+                    max=g.max.at[p].max(jnp.where(f, wait, -jnp.inf)),
+                )
+                mk = mk.at[p].set(jnp.where(f, gcount, mk[p]))
+                gcount = gcount + jnp.where(f, 1, 0)
+                return (gcount, mk, g), ()
+
+            (gcorr, marks, gw), _ = jax.lax.scan(
+                gw_body, (gcorr, marks, gw), perm
+            )
+
+            if acfg.res_mode == "update":
+                r_maint = r_state - A0 @ total_c
+                normsq, nfl = fused_norm_flags(r_maint, relnorm)
+                relnorm = jnp.sqrt(normsq) / safe_r0
+                snap = x if acfg.read_type == "sol" else r_maint
+            else:
+                r_maint = r_state
+                r_true = b_ - A0 @ x
+                normsq, nfl = fused_norm_flags(r_true, relnorm)
+                relnorm = jnp.sqrt(normsq) / safe_r0
+                snap = x if acfg.read_type == "sol" else r_true
+            hist = hist.at[k + 1].set(relnorm)
+            ring = ring.at[(k + 1) % W].set(snap)
+            return (
+                x, ring, new_lr, gw, marks, gcorr, r_maint, k + 1,
+                relnorm, nfl, hist, key_s,
+            )
+
+        def cond(state):
+            k, relnorm, nflags = state[7], state[8], state[9]
+            # done-flag lattice: exit once every device's flag (summed in
+            # the SAME psum as the norm) reaches 1; the fresh relnorm check
+            # terminates without the extra flag-propagation step
+            return (k < max_cycles) & (relnorm > tol) & (nflags < D)
+
+        state = (
+            x0_, ring0, lr0, gw0, jnp.zeros(L, jnp.int32),
+            jnp.zeros((), jnp.int32), r0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
+            hist0, key_,
+        )
+        x, _, _, gw, _, _, _, it, relnorm, _, hist, _ = jax.lax.while_loop(
+            cond, body, state
+        )
+        return AsyncResult(
+            x=x, iters=it, rel_resnorm=relnorm, history=hist, grid_wait=gw
+        )
+
+    rep = P()
+    hier_specs = jax.tree_util.tree_map(lambda _: rep, hier)
+    out_specs = AsyncResult(
+        x=rep,
+        iters=rep,
+        rel_resnorm=rep,
+        history=rep,
+        grid_wait=GridWaitStats(total=rep, count=rep, min=rep, max=rep),
+    )
+    fn = jax.shard_map(
+        solve_body,
+        mesh=mesh,
+        in_specs=(hier_specs, rep, rep, rep),
+        out_specs=out_specs,
+    )
+    return jax.jit(fn)(hier, b, x0, key)
+
+
+def device_branch_fn(hier, cfg: CycleConfig, acfg: AsyncConfig, my_levels, b):
+    """Standalone jittable function computing one device's per-superstep
+    correction work — used to assert per-device FLOPs ∝ assigned-level work
+    via compiled cost analysis (the profile check the reference's work
+    model is calibrated against, src/DMEM_Setup.cpp:1762-1846)."""
+    n = b.shape[0]
+
+    def fn(ring, cols_all):
+        c = jnp.zeros(n, b.dtype)
+        for lvl in my_levels:
+            stale = _gather_stale(acfg, ring, cols_all[lvl], n)
+            if acfg.read_type == "sol":
+                r_stale = b - hier.levels[0].A @ stale
+            else:
+                r_stale = stale
+            c = c + additive_correction(hier, cfg, r_stale, lvl)
+        return c
+
+    return fn

@@ -19,28 +19,46 @@ import numpy as np
 
 
 def compute_level_work(
-    hh, async_mode: bool = True, imbalance: float = 0.0
+    hh, async_mode: bool = True, imbalance: float = 0.0,
+    fine_residual: bool | None = None,
+    smoothed_transfers: bool = False,
 ) -> np.ndarray:
-    """Per-level relative work. Additive cycles do a restrict chain + level
-    smooth + prolong chain per level, so level k's work counts its chain nnz
-    as well (the reference weights async vs sync differently and exposes an
-    artificial imbalance knob, src/DMEM_Setup.cpp:1762-1846)."""
+    """Per-level relative work, in flop units matching what the grid-parallel
+    branches actually execute. An additive level-k group does, per cycle:
+    a fine residual (async local-residual mode recomputes b - A0 x from its
+    stale read, reference: DMEM_AddResidual_LocalRes src/DMEM_Add.cpp:530-556),
+    a restrict chain down to k and a prolong chain back (2 flops per nnz
+    each), the level's smoothing, and O(rows) vector ops (the reference
+    weights async vs sync differently and exposes an artificial imbalance
+    knob, src/DMEM_Setup.cpp:1762-1846)."""
+    if fine_residual is None:
+        fine_residual = async_mode
     L = hh.num_levels
     nnz = np.array([lv.A.nnz for lv in hh.levels], dtype=np.float64)
     rows = np.array([lv.A.n_rows for lv in hh.levels], dtype=np.float64)
-    p_nnz = np.array(
-        [lv.P.nnz if lv.P is not None else 0 for lv in hh.levels],
-        dtype=np.float64,
-    )
+    def chain_op(lv):
+        # multadd's ONE_INTERPOLANT mode runs its chains through the denser
+        # smoothed transfers P~ = G P (reference: SmoothTransfer,
+        # src/SMEM_Setup.cpp:1173-1254)
+        op = lv.P_s if smoothed_transfers and lv.P_s is not None else lv.P
+        return op.nnz if op is not None else 0
+
+    p_nnz = np.array([chain_op(lv) for lv in hh.levels], dtype=np.float64)
     work = np.zeros(L)
     for k in range(L):
-        # restrict+prolong chains to/from level k, plus the level's own
-        # smoothing (2 matvec-equivalents) and vector ops. In the sync model
-        # the chains are shared across one sweep, so their cost is amortized.
-        chain = p_nnz[:k].sum()
+        # restrict + prolong chains to/from level k (2 flops/nnz each way),
+        # the level's own smoothing and O(rows) vector ops. In the sync
+        # model the chains are shared across one sweep, so their cost is
+        # amortized. With smoothed transfers the per-level smoother is a
+        # zero-guess diagonal scale (O(rows)); otherwise a symmetrized
+        # sweep (~2 matvec-equivalents).
+        chain = 4.0 * p_nnz[:k].sum()
         if not async_mode:
             chain /= max(L, 1)
-        work[k] = 2.0 * chain + 2.0 * nnz[k] + 5.0 * rows[k]
+        smooth_cost = 2.0 * rows[k] if smoothed_transfers else 4.0 * nnz[k]
+        work[k] = chain + smooth_cost + 5.0 * rows[k]
+        if fine_residual:
+            work[k] += 2.0 * nnz[0]
     if imbalance != 0.0:
         rng = np.random.default_rng(0)
         work *= 1.0 + imbalance * rng.random(L)

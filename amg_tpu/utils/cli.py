@@ -86,6 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-print_grid_wait", action="store_true")
     a("-background_program", action="store_true")
     a("-num_devices", type=int, default=d.num_devices)
+    a("-no_grid_parallel", dest="grid_parallel", action="store_false")
+    a("-imbal", type=float, default=d.imbal)
     a("-only_setup", action="store_true")
     a("-num_runs", type=int, default=d.num_runs)
     return p

@@ -123,7 +123,12 @@ class SolverOptions:
     background_program: bool = False
 
     # execution target
-    num_devices: int = 1  # >1: row-shard over a device mesh
+    num_devices: int = 1  # >1: shard over a device mesh
+    # multi-device async additive solves map levels to device groups (the
+    # reference's grid parallelism, AssignProcs src/DMEM_Setup.cpp:1638-1759);
+    # turn off to use pure row sharding instead
+    grid_parallel: bool = True
+    imbal: float = 0.0  # artificial work-model imbalance (reference -imbal)
     only_setup: bool = False  # reference -only_setup
     num_runs: int = 1
 

@@ -142,7 +142,16 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         else:
             hh = build_host_hierarchy(prob.A, params)
         mesh = make_row_mesh(opts.num_devices)
-        hier, pad_info = build_dist_hierarchy(hh, params, mesh)
+        if opts.is_async() and opts.grid_parallel:
+            # level ("grid") parallelism: devices own level groups, operators
+            # replicated (reference: AssignProcs) — build the plain device
+            # hierarchy, the grid solver handles the mesh mapping below
+            from amg_tpu.setup.hierarchy import device_hierarchy
+
+            hier = device_hierarchy(hh, params)
+            grid_mesh, mesh = mesh, None
+        else:
+            hier, pad_info = build_dist_hierarchy(hh, params, mesh)
     else:
         hh, hier = build_hierarchy(
             prob.A,
@@ -259,11 +268,27 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             fail_duration=opts.fail_duration,
             omega=omega,
         )
-        res = async_solve(
-            hier, cfg, acfg, b, x0,
-            key=jax.random.PRNGKey(opts.seed),
-            tol=opts.tol, max_cycles=opts.num_cycles,
-        )
+        if opts.num_devices > 1 and opts.grid_parallel:
+            from amg_tpu.parallel.grid import (
+                grid_parallel_solve,
+                plan_grid_levels,
+            )
+
+            _, levels_of, lscale = plan_grid_levels(
+                hh, opts.num_devices, imbalance=opts.imbal,
+                smoothed_transfers=cfg.use_smoothed_transfers,
+            )
+            res = grid_parallel_solve(
+                hier, cfg, acfg, levels_of, lscale, grid_mesh, b, x0,
+                key=jax.random.PRNGKey(opts.seed),
+                tol=opts.tol, max_cycles=opts.num_cycles,
+            )
+        else:
+            res = async_solve(
+                hier, cfg, acfg, b, x0,
+                key=jax.random.PRNGKey(opts.seed),
+                tol=opts.tol, max_cycles=opts.num_cycles,
+            )
         gw = res.grid_wait.summary()
     elif (
         opts.hierarchy == "structured"
