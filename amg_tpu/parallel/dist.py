@@ -111,19 +111,24 @@ def _shard_smoother(sm: SmootherData, mesh: Mesh) -> SmootherData:
 def _pad_csr(m, n_rows_pad: int, n_cols_pad: int, unit_diag_from: int = -1):
     """Pad a host CSRMatrix to (n_rows_pad, n_cols_pad); rows >= original get
     a unit diagonal when unit_diag_from >= 0 (for square operators, keeping
-    smoothers well-defined on padding)."""
+    smoothers well-defined on padding). Vectorized: one COO assembly, no
+    per-row interpreter work."""
     import scipy.sparse as sp
 
     from amg_tpu.sparse.csr import CSRMatrix
 
-    s = m.to_scipy()
+    s = m.to_scipy().tocoo()
     n, c = s.shape
-    out = sp.lil_matrix((n_rows_pad, n_cols_pad))
-    out[:n, :c] = s
-    if unit_diag_from >= 0:
-        for i in range(unit_diag_from, n_rows_pad):
-            out[i, i] = 1.0
-    return CSRMatrix.from_scipy(out.tocsr())
+    rows, cols, data = s.row, s.col, s.data
+    if unit_diag_from >= 0 and n_rows_pad > unit_diag_from:
+        d = np.arange(unit_diag_from, n_rows_pad)
+        rows = np.concatenate([rows, d])
+        cols = np.concatenate([cols, d])
+        data = np.concatenate([data, np.ones(d.size, dtype=s.data.dtype)])
+    out = sp.coo_matrix(
+        (data, (rows, cols)), shape=(n_rows_pad, n_cols_pad)
+    ).tocsr()
+    return CSRMatrix.from_scipy(out)
 
 
 def build_dist_hierarchy(hh, params, mesh: Mesh):
@@ -234,39 +239,51 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh) -> Hierarchy:
 
 
 def pad_extended_layout(level_sizes, assignment, num_devices, total_rows=None):
-    """Static layout for grid parallelism: pad each level block so it starts
-    and ends on shard boundaries of a `num_devices`-way row sharding. Returns
-    (padded_offsets, padded_total, row_owner) where row_owner[i] is the level
-    owning padded row i (-1 for padding).
+    """Static layout for grid parallelism: place each level block inside the
+    shard range of its assigned devices, padding so a plain `num_devices`-way
+    row sharding of the flat vector maps level k's rows exactly onto
+    `assignment[k]`'s device range. Returns (padded_offsets, padded_total,
+    row_owner) with padded_offsets of length L+1 (block k spans
+    [padded_offsets[k], padded_offsets[k+1]), data rows lead, padding
+    trails) and row_owner[i] = the level owning padded row i (-1 padding).
 
-    This is the TPU realization of the reference's AssignProcs comm split:
-    sharding the padded flat vector over the mesh places each level block
-    exactly on its assigned device range."""
+    This is the TPU realization of the reference's AssignProcs comm split
+    (reference: src/DMEM_Setup.cpp:1638-1759): the shard IS the per-grid
+    communicator's rank range."""
     L = len(level_sizes)
-    # shard quantum: choose the smallest chunk q such that each level's
-    # padded size is a multiple of (padded_total / num_devices) boundaries —
-    # simplest correct choice: pad every level to a multiple of the per-device
-    # row count derived from the largest level
-    offsets = [0]
+    assert len(assignment) == L
+
+    def clamp(k):
+        s, e = assignment[k]
+        s = min(max(s, 0), num_devices - 1)
+        e = min(max(e, s + 1), num_devices)
+        return s, e
+
+    # shard row count: every device must fit its share of its levels
+    need = np.zeros(num_devices, np.int64)
     for k in range(L):
-        ndev = max(assignment[k][1] - assignment[k][0], 1)
-        offsets.append(offsets[-1] + level_sizes[k])
-    # pad so total divides evenly and each block boundary aligns to the
-    # device shard size of the final layout: iterate to a fixed point
-    total = offsets[-1]
-    shard = -(-total // num_devices)
-    padded_offsets = [0]
-    for k in range(L):
-        size = level_sizes[k]
-        end = padded_offsets[-1] + size
-        end = -(-end // shard) * shard  # round block end up to shard boundary
-        padded_offsets.append(end)
-    padded_total = max(padded_offsets[-1], shard * num_devices)
-    padded_total = -(-padded_total // (shard * num_devices)) * (shard * num_devices)
+        s, e = clamp(k)
+        need[s : e] += -(-level_sizes[k] // (e - s))
+    S = int(max(need.max(), 1))
+    starts = np.zeros(L, np.int64)
+    cursor = np.zeros(num_devices, np.int64)
+    for k in range(L):  # levels arrive in increasing device order
+        s, e = clamp(k)
+        starts[k] = s * S + cursor[s]
+        left = level_sizes[k]
+        for d in range(s, e):
+            take = min(S - cursor[d], left)
+            cursor[d] += take
+            left -= take
+        assert left == 0, "shard size too small for assignment"
+    padded_total = num_devices * S
+    padded_offsets = list(starts) + [padded_total]
+    for k in range(1, L):
+        assert padded_offsets[k] >= padded_offsets[k - 1] + level_sizes[k - 1]
     row_owner = np.full(padded_total, -1, np.int32)
     for k in range(L):
         row_owner[padded_offsets[k] : padded_offsets[k] + level_sizes[k]] = k
-    return tuple(padded_offsets), padded_total, row_owner
+    return tuple(int(o) for o in padded_offsets), padded_total, row_owner
 
 
 def shard_structured_hierarchy(hier, mesh: Mesh):

@@ -118,6 +118,112 @@ def build_extended_system(
     )
 
 
+def build_sharded_extended_system(
+    hh, params, mesh, weight: Optional[float] = None, imbalance: float = 0.0
+) -> ExtendedSystem:
+    """Grid parallelism on the extended system: pad each level block to
+    shard boundaries of the mesh (amg_tpu.parallel.dist.pad_extended_layout)
+    so a plain row sharding of the flat vector places level k's rows exactly
+    on its work-model-assigned device group — the TPU realization of the
+    reference's AssignProcs communicator split (reference:
+    src/DMEM_Setup.cpp:1638-1759) applied to the flattened PAR_BPX system
+    (src/SMEM_Sync_AMG.cpp:147-294, src/SMEM_ExtendedSystem.cpp:9-907).
+
+    Each device then updates ONLY its own block rows of AA U = FF (row-
+    sharded ELL: per-device FLOPs ∝ its rows' nnz), and the per-step gather
+    of U is the gridj→gridk correction exchange. Padding rows carry a unit
+    diagonal and zero inv_wdiag, so they never move."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+    import scipy.sparse as sp
+
+    from amg_tpu.parallel.dist import pad_extended_layout
+    from amg_tpu.parallel.partition import (
+        assign_levels_to_devices,
+        compute_level_work,
+    )
+    from amg_tpu.sparse.csr import CSRMatrix
+
+    L = hh.num_levels
+    D = mesh.devices.size
+    dtype = params.dtype
+    sizes = [lv.A.n_rows for lv in hh.levels]
+    work = compute_level_work(hh, imbalance=imbalance)
+    assignment = assign_levels_to_devices(work, D)
+    p_off, p_total, row_owner = pad_extended_layout(sizes, assignment, D)
+
+    A0 = hh.levels[0].A.to_scipy()
+    n0 = sizes[0]
+    chains = [sp.identity(n0, format="csr")]
+    for k in range(L - 1):
+        chains.append((chains[-1] @ hh.levels[k].P.to_scipy()).tocsr())
+
+    # padded chain prolongations: n0 x block_size (original cols lead)
+    def pad_cols(c, bs):
+        c = c.tocsr().copy()
+        c.resize((n0, bs))
+        return c
+
+    blocks = [p_off[k + 1] - p_off[k] for k in range(L)]
+    pch = [pad_cols(chains[k], blocks[k]) for k in range(L)]
+    pchains = tuple(
+        ell_from_csr(CSRMatrix.from_scipy(c), dtype=dtype) for c in pch
+    )
+    rchains = tuple(
+        ell_from_csr(CSRMatrix.from_scipy(c.T.tocsr()), dtype=dtype)
+        for c in pch
+    )
+
+    # assemble the padded AA in one COO pass: AA_{l,m} = chain_l^T A0 chain_m
+    rows_all, cols_all, data_all = [], [], []
+    for l in range(L):
+        left = (chains[l].T @ A0).tocsr()
+        for m in range(L):
+            blk = (left @ chains[m]).tocoo()
+            rows_all.append(blk.row + p_off[l])
+            cols_all.append(blk.col + p_off[m])
+            data_all.append(blk.data)
+    pad_rows = np.flatnonzero(row_owner < 0)
+    rows_all.append(pad_rows)
+    cols_all.append(pad_rows)
+    data_all.append(np.ones(pad_rows.size))
+    AA_sp = sp.coo_matrix(
+        (
+            np.concatenate(data_all),
+            (np.concatenate(rows_all), np.concatenate(cols_all)),
+        ),
+        shape=(p_total, p_total),
+    ).tocsr()
+    AA_sp.data[np.abs(AA_sp.data) < 1e-300] = 0.0
+    AA_sp.eliminate_zeros()
+    AA = ell_from_csr(CSRMatrix.from_scipy(AA_sp), dtype=dtype)
+
+    inv_wdiag = np.zeros(p_total)
+    for k in range(L):
+        d = hh.levels[k].A.diagonal()
+        d = np.where(d == 0.0, 1.0, d)
+        w = weight if weight is not None else hh.levels[k].weight
+        inv_wdiag[p_off[k] : p_off[k] + sizes[k]] = w / d
+
+    ax = mesh.axis_names[0]
+    row_sh = NamedSharding(mesh, _P(ax))
+    mat_sh = NamedSharding(mesh, _P(ax, None))
+    AA = ELLMatrix(
+        cols=_jax.device_put(AA.cols, mat_sh),
+        vals=_jax.device_put(AA.vals, mat_sh),
+        shape_cols=AA.shape_cols,
+    )
+    return ExtendedSystem(
+        pchains=pchains,
+        rchains=rchains,
+        inv_wdiag=_jax.device_put(
+            jnp.asarray(inv_wdiag, dtype=dtype), row_sh
+        ),
+        AA=AA,
+        offsets=tuple(p_off),
+    )
+
+
 def ext_prolong(ext: ExtendedSystem, U: jnp.ndarray) -> jnp.ndarray:
     """x = C U = sum_k Pchain_k U_k (fine-grid vector)."""
     L = len(ext.pchains)

@@ -109,6 +109,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         device_format=opts.device_format,
     )
     mesh = None
+    grid_mesh = None
     if opts.hierarchy == "structured":
         if prob.stencil is None:
             raise ValueError("structured hierarchy needs a stencil problem")
@@ -142,7 +143,15 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         else:
             hh = build_host_hierarchy(prob.A, params)
         mesh = make_row_mesh(opts.num_devices)
-        if opts.is_async() and opts.grid_parallel:
+        if opts.solver in EXT_SOLVERS and opts.grid_parallel:
+            # grid parallelism on the extended system: level blocks padded
+            # to shard boundaries (pad_extended_layout), fine operators
+            # replicated — the ext build below shards AA by block rows
+            from amg_tpu.setup.hierarchy import device_hierarchy
+
+            hier = device_hierarchy(hh, params)
+            grid_mesh, mesh = mesh, None
+        elif opts.is_async() and opts.grid_parallel:
             # level ("grid") parallelism: devices own level groups, operators
             # replicated (reference: AssignProcs) — build the plain device
             # hierarchy, the grid solver handles the mesh mapping below
@@ -229,7 +238,16 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         )
 
         explicit = "explicit" in opts.solver
-        ext = build_extended_system(hh, params, explicit=explicit)
+        if grid_mesh is not None:
+            from amg_tpu.solve.extended import build_sharded_extended_system
+
+            # grid-mapped extended system (explicit AA, block rows sharded
+            # onto assigned device groups)
+            ext = build_sharded_extended_system(
+                hh, params, grid_mesh, imbalance=opts.imbal
+            )
+        else:
+            ext = build_extended_system(hh, params, explicit=explicit)
         A0 = hier.levels[0].A
         coeffs = estimate_cycle_eigs(
             lambda u: ext.inv_wdiag * ext_matvec(ext, A0, u),
