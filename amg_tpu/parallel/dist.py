@@ -131,10 +131,18 @@ def _pad_csr(m, n_rows_pad: int, n_cols_pad: int, unit_diag_from: int = -1):
     return CSRMatrix.from_scipy(out)
 
 
-def build_dist_hierarchy(hh, params, mesh: Mesh):
+def build_dist_hierarchy(hh, params, mesh: Mesh, comm: str = "gspmd"):
     """Build a device hierarchy whose level sizes are padded to multiples of
     the mesh size, then row-shard everything. Returns (hier_sharded, pad_info)
     with pad_info = (orig_n0, padded_n0) for vector pad/unpad.
+
+    comm = "gspmd": plain row-sharded ELL/BSR; the gather in the SpMV lets
+    XLA all-gather the vector per matvec (simple, O(n) comm).
+    comm = "halo": HaloELL operators with the setup-time boundary-segment
+    pattern — one all_to_all of O(boundary) per matvec, the TPU equivalent
+    of the reference's comm-pkg halo exchange (reference:
+    CreateCommData_LocalRes src/DMEM_Setup.cpp:666-1265,
+    src/DMEM_Comm.cpp:81-348).
 
     This is the TPU analog of the reference's matrix redistribution onto the
     per-grid communicators (reference:
@@ -147,11 +155,16 @@ def build_dist_hierarchy(hh, params, mesh: Mesh):
     from amg_tpu.setup.hierarchy import Hierarchy as H, Level as L_, _format_converter
     from amg_tpu.smooth import make_smoother_data
 
-    convert = _format_converter(params)
+    if comm == "halo":
+        from amg_tpu.parallel.spcomm import build_halo_ell
+
+        convert = lambda m, dtype: build_halo_ell(m, mesh, dtype=dtype)
+    else:
+        convert = _format_converter(params)
     D = mesh.devices.size
     # BSR row-block sharding needs n % (bm*D) == 0; pad to 16*D (covers all
     # auto-chosen tile heights) whenever a blocked format may be selected
-    unit = D if params.device_format == "ell" else 16 * D
+    unit = D if (params.device_format == "ell" or comm == "halo") else 16 * D
     pad = lambda n: -(-n // unit) * unit
     sizes = [lv.A.n_rows for lv in hh.levels]
     psizes = [pad(n) for n in sizes]
@@ -212,10 +225,16 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh) -> Hierarchy:
     Note: the fine level must be in ELL form for a sharded run (build the
     hierarchy with keep_stencil_fine=False); the stencil fast path has its own
     halo-exchange formulation (future work: Pallas remote-DMA stencil)."""
+    from amg_tpu.parallel.spcomm import HaloELL
     from amg_tpu.sparse.bsr import BSRMatrix
 
     levels = []
     for lv in hier.levels:
+        if isinstance(lv.A, HaloELL):
+            # halo operators are placed (device-put, row-stacked) at build
+            # time — only the smoother state still needs sharding
+            levels.append(lv._replace(sm=_shard_smoother(lv.sm, mesh)))
+            continue
         if not isinstance(lv.A, (ELLMatrix, BSRMatrix)):
             raise ValueError(
                 "shard_hierarchy needs ELL/BSR operators on every level; "

@@ -87,6 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-background_program", action="store_true")
     a("-num_devices", type=int, default=d.num_devices)
     a("-no_grid_parallel", dest="grid_parallel", action="store_false")
+    a("-comm", default=d.comm, choices=("halo", "gspmd"))
     a("-imbal", type=float, default=d.imbal)
     a("-only_setup", action="store_true")
     a("-num_runs", type=int, default=d.num_runs)

@@ -128,6 +128,10 @@ class SolverOptions:
     # reference's grid parallelism, AssignProcs src/DMEM_Setup.cpp:1638-1759);
     # turn off to use pure row sharding instead
     grid_parallel: bool = True
+    # row-sharded comm backend: "halo" ships only boundary segments per
+    # matvec (the reference's comm-pkg halo exchange); "gspmd" lets XLA
+    # all-gather the vector (simple baseline)
+    comm: str = "halo"
     imbal: float = 0.0  # artificial work-model imbalance (reference -imbal)
     only_setup: bool = False  # reference -only_setup
     num_runs: int = 1

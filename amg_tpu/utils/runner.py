@@ -160,7 +160,9 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             hier = device_hierarchy(hh, params)
             grid_mesh, mesh = mesh, None
         else:
-            hier, pad_info = build_dist_hierarchy(hh, params, mesh)
+            hier, pad_info = build_dist_hierarchy(
+                hh, params, mesh, comm=opts.comm
+            )
     else:
         hh, hier = build_hierarchy(
             prob.A,

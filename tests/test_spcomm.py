@@ -1,0 +1,155 @@
+"""Sparse halo exchange for unstructured row-partitioned operators.
+
+Round-1 verdict item 2: the sharded SpMV must ship only boundary segments
+(reference: CreateCommData_LocalRes src/DMEM_Setup.cpp:666-1265,
+src/DMEM_Comm.cpp:81-348), not all-gather the whole vector."""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from amg_tpu.parallel import make_row_mesh
+from amg_tpu.parallel.dist import (
+    _pad_csr,
+    build_dist_hierarchy,
+    pad_vector,
+    shard_vector,
+    unpad_vector,
+)
+from amg_tpu.parallel.spcomm import build_halo_ell
+from amg_tpu.problems import laplacian_2d_5pt, laplacian_3d_7pt
+from amg_tpu.setup.hierarchy import HierarchyParams, build_host_hierarchy
+from amg_tpu.smooth import SmootherType
+from amg_tpu.solve import CycleConfig, CycleType, solve
+
+
+class TestHaloSpmv:
+    @pytest.mark.parametrize("D", [4, 8])
+    def test_matches_scipy(self, D):
+        prob = laplacian_2d_5pt(19)  # 361 rows, not divisible by D
+        mesh = make_row_mesh(D)
+        npad = -(-prob.n // D) * D
+        A_pad = _pad_csr(prob.A, npad, npad, unit_diag_from=prob.n)
+        h = build_halo_ell(A_pad, mesh)
+        x = np.random.default_rng(0).random(npad)
+        y_ref = A_pad.to_scipy() @ x
+        y = jax.jit(lambda v: h @ v)(shard_vector(jnp.asarray(x), mesh))
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-14)
+
+    def test_all_to_all_fallback(self):
+        """Dense-coupling fallback (max_ppermute_offsets=0 forces it) gives
+        identical results through the padded all_to_all path."""
+        prob = laplacian_2d_5pt(19)
+        mesh = make_row_mesh(8)
+        npad = -(-prob.n // 8) * 8
+        A_pad = _pad_csr(prob.A, npad, npad, unit_diag_from=prob.n)
+        h = build_halo_ell(A_pad, mesh, max_ppermute_offsets=0)
+        assert h.offsets == ()
+        x = np.random.default_rng(0).random(npad)
+        y = jax.jit(lambda v: h @ v)(shard_vector(jnp.asarray(x), mesh))
+        np.testing.assert_allclose(
+            np.asarray(y), A_pad.to_scipy() @ x, rtol=1e-14
+        )
+
+    def test_rectangular(self):
+        """P (fine x coarse) and R (coarse x fine) with different row/col
+        partitions — the transfer-operator halo channels."""
+        prob = laplacian_2d_5pt(16)
+        hh = build_host_hierarchy(
+            prob.A, HierarchyParams(smoother=SmootherType.L1_JACOBI)
+        )
+        P_csr = hh.levels[0].P
+        D = 8
+        mesh = make_row_mesh(D)
+        nf = -(-P_csr.n_rows // D) * D
+        nc = -(-P_csr.n_cols // D) * D
+        P_pad = _pad_csr(P_csr, nf, nc)
+        h = build_halo_ell(P_pad, mesh)
+        xc = np.random.default_rng(1).random(nc)
+        y_ref = P_pad.to_scipy() @ xc
+        y = jax.jit(lambda v: h @ v)(shard_vector(jnp.asarray(xc), mesh))
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-14)
+
+    def test_comm_is_boundary_not_allgather(self):
+        """Compiled HLO must contain the all_to_all of boundary segments and
+        NO all-gather of the full vector; comm volume ∝ partition surface."""
+        prob = laplacian_3d_7pt(16)  # 4096 rows; slab surface 256
+        D = 8
+        mesh = make_row_mesh(D)
+        h = build_halo_ell(prob.A, mesh)
+        x = shard_vector(jnp.zeros(prob.n), mesh)
+        fn = jax.jit(lambda v: h @ v)
+        txt = fn.lower(x).compile().as_text()
+        assert "collective-permute" in txt
+        assert "all-gather" not in txt and "all-to-all" not in txt
+        # boundary bytes: a 16^3 7pt slab touches its two neighbor planes
+        # (16x16 each) → ppermute mode with two offset classes of one plane
+        assert h.offsets == (1, 7), h.offsets
+        _, m, S = h.send_idx.shape
+        assert (m, S) == (2, 16 * 16), (m, S)
+        assert h.comm_bytes_per_matvec() == 2 * S * 8
+        # far below the all-gather volume (n doubles)
+        assert h.comm_bytes_per_matvec() < prob.n * 8 / 4
+
+
+class TestHaloHierarchySolve:
+    def test_vcycle_identical_to_single_device(self):
+        prob = laplacian_2d_5pt(24)
+        params = HierarchyParams(
+            smoother=SmootherType.L1_JACOBI, keep_stencil_fine=False,
+            device_format="ell",
+        )
+        hh = build_host_hierarchy(prob.A, params)
+        cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+        b_np = np.random.default_rng(0).random(prob.n)
+
+        from amg_tpu.setup.hierarchy import device_hierarchy
+
+        hier1 = device_hierarchy(hh, params)
+        res1 = solve(hier1, cfg, jnp.asarray(b_np), tol=1e-8, max_cycles=60)
+
+        mesh = make_row_mesh(8)
+        hier8, pad_info = build_dist_hierarchy(hh, params, mesh, comm="halo")
+        b8 = pad_vector(jnp.asarray(b_np), pad_info, mesh)
+        res8 = solve(hier8, cfg, b8, tol=1e-8, max_cycles=60)
+        assert int(res8.iters) == int(res1.iters)
+        x8 = unpad_vector(res8.x, pad_info)
+        np.testing.assert_allclose(
+            np.asarray(x8), np.asarray(res1.x), rtol=1e-9, atol=1e-12
+        )
+
+    def test_no_allgather_in_solve(self):
+        """The full jitted V-cycle over the halo hierarchy compiles without
+        any all-gather except the (small) coarse-grid direct solve."""
+        prob = laplacian_2d_5pt(24)
+        params = HierarchyParams(
+            smoother=SmootherType.L1_JACOBI, keep_stencil_fine=False,
+            device_format="ell",
+        )
+        hh = build_host_hierarchy(prob.A, params)
+        mesh = make_row_mesh(8)
+        hier8, pad_info = build_dist_hierarchy(hh, params, mesh, comm="halo")
+        cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+        from amg_tpu.solve.cycles import mult_vcycle
+
+        b8 = pad_vector(jnp.zeros(prob.n), pad_info, mesh)
+        fn = jax.jit(lambda h, x, b: mult_vcycle(h, cfg, x, b))
+        txt = fn.lower(hier8, b8, b8).compile().as_text()
+        n0_pad = pad_info[1]
+        # no all-gather of a fine-level-sized operand
+        for m in re.finditer(r"all-gather[^\n]*f64\[(\d+)\]", txt):
+            assert int(m.group(1)) < n0_pad, m.group(0)
+
+    def test_runner_halo_end_to_end(self):
+        from amg_tpu.utils.config import SolverOptions
+        from amg_tpu.utils.runner import run_experiment
+
+        st = run_experiment(SolverOptions(
+            problem="5pt", n=24, solver="mult", num_devices=8, comm="halo",
+            device_format="ell",
+        ))
+        assert st.rel_resnorm <= 1e-8
