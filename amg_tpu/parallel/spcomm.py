@@ -144,14 +144,38 @@ def _local_spmv(a: HaloELL, cols, vals, send_idx, ghost_map, x_loc):
 
 
 _MESH_BY_AXIS = {}
+_COMM_TRACE = None
 
 
 def register_halo_mesh(mesh: Mesh) -> None:
     _MESH_BY_AXIS[mesh.axis_names[0]] = mesh
 
 
+class comm_trace:
+    """Record per-matvec halo-comm bytes during a jax trace — the message
+    volume accounting of the reference's DMEM stats (message counts/volumes,
+    reference: src/DMEM_Misc.cpp:90-96,235). Usage:
+
+        with comm_trace() as log:
+            jax.eval_shape(cycle_fn, hier, x, b)
+        total_bytes = sum(log)
+    """
+
+    def __enter__(self):
+        global _COMM_TRACE
+        _COMM_TRACE = []
+        return _COMM_TRACE
+
+    def __exit__(self, *exc):
+        global _COMM_TRACE
+        _COMM_TRACE = None
+        return False
+
+
 def halo_spmv(a: HaloELL, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x with explicit boundary-segment exchange."""
+    if _COMM_TRACE is not None:
+        _COMM_TRACE.append(a.comm_bytes_per_matvec())
     mesh = _MESH_BY_AXIS[a.axis]
     ax = a.axis
     fn = jax.shard_map(
