@@ -1,0 +1,93 @@
+"""Multi-process worker for tests/test_multiprocess.py.
+
+Runs in N separate processes (jax.distributed + Gloo CPU collectives), each
+owning 4 virtual devices of a global mesh, and drives:
+  1. the halo-exchange distributed V-cycle (BASELINE config 5 semantics:
+     row-partitioned operators, boundary-segment exchange across hosts),
+  2. the grid-parallel async additive solve (level groups spanning hosts,
+     fused norm+flag termination psum crossing the process boundary).
+
+Prints one "RESULT <json>" line; the parent test asserts convergence and
+cross-process agreement.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from amg_tpu.parallel.multihost import global_mesh_info, init_multihost
+
+    init_multihost(f"localhost:{port}", num_processes=nproc, process_id=pid)
+    info = global_mesh_info()
+    assert info["global_devices"] == 4 * nproc, info
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from amg_tpu.parallel import make_row_mesh
+    from amg_tpu.parallel.dist import build_dist_hierarchy, pad_vector
+    from amg_tpu.parallel.grid import grid_parallel_solve, plan_grid_levels
+    from amg_tpu.problems import laplacian_2d_5pt
+    from amg_tpu.setup.hierarchy import (
+        HierarchyParams,
+        build_host_hierarchy,
+        device_hierarchy,
+    )
+    from amg_tpu.smooth import SmootherType
+    from amg_tpu.solve import CycleConfig, CycleType, solve
+    from amg_tpu.solve.async_sim import AsyncConfig
+
+    D = info["global_devices"]
+    prob = laplacian_2d_5pt(24)
+    params = HierarchyParams(
+        smoother=SmootherType.L1_JACOBI, keep_stencil_fine=False,
+        device_format="ell",
+    )
+    hh = build_host_hierarchy(prob.A, params)
+    mesh = make_row_mesh(D)
+    b_np = np.random.default_rng(0).random(prob.n)
+
+    # 1) halo-exchange V-cycle across processes
+    hier, pad_info = build_dist_hierarchy(hh, params, mesh, comm="halo")
+    b = pad_vector(jnp.asarray(b_np), pad_info, mesh)
+    cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+    res = solve(hier, cfg, b, tol=1e-8, max_cycles=60)
+
+    # 2) grid-parallel async additive solve (level groups span processes)
+    cfg_add = CycleConfig(
+        cycle=CycleType.MULTADD, smoother=SmootherType.L1_JACOBI,
+        use_smoothed_transfers=True,
+    )
+    hier_rep = device_hierarchy(hh, params)
+    _, levels_of, lscale = plan_grid_levels(hh, D, smoothed_transfers=True)
+    acfg = AsyncConfig(omega=0.7, fire_prob=0.8, sim_read_delay=1,
+                       async_type="semi")
+    gres = grid_parallel_solve(
+        hier_rep, cfg_add, acfg, levels_of, lscale, mesh,
+        jnp.asarray(b_np), tol=1e-8, max_cycles=300,
+    )
+
+    print("RESULT " + json.dumps({
+        "pid": pid,
+        "mult_iters": int(res.iters),
+        "mult_rel": float(res.rel_resnorm),
+        "grid_iters": int(gres.iters),
+        "grid_rel": float(gres.rel_resnorm),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
