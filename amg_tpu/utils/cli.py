@@ -98,9 +98,25 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     opts = SolverOptions(**{k: (tuple(v) if isinstance(v, list) else v)
                             for k, v in vars(args).items()})
-    for _ in range(opts.num_runs):
+    runs = []
+    for i in range(opts.num_runs):
         stats = run_experiment(opts)
         stats.print_report(opts)
+        runs.append(stats)
+    if opts.num_runs > 1:
+        # mean/min/max aggregation over runs (reference: PrintOutput,
+        # src/Misc.cpp:6-214 aggregates per-thread and per-run timers)
+        import numpy as _np
+
+        def agg(vals):
+            v = _np.asarray(vals, dtype=float)
+            return f"{v.mean():.6g} / {v.min():.6g} / {v.max():.6g}"
+
+        print(f"=== aggregate over {opts.num_runs} runs (mean/min/max) ===")
+        print(f"solve wtime    : {agg([s.solve_wtime for s in runs])}")
+        print(f"setup wtime    : {agg([s.setup_wtime for s in runs])}")
+        print(f"cycles         : {agg([s.cycles for s in runs])}")
+        print(f"rel res 2-norm : {agg([s.rel_resnorm for s in runs])}")
     return 0
 
 

@@ -369,4 +369,16 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
     h = np.asarray(res.history)
     stats.history = h[~np.isnan(h)].tolist()
     stats.grid_wait = gw
+    if (
+        opts.print_level_stats
+        and opts.hierarchy == "algebraic"
+        and opts.solver in ("mult", "multadd", "afacx", "afacj", "bpx")
+    ):
+        # per-phase instrumented re-run (segmented cycle; reference:
+        # src/Main.hpp:159-185 per-phase timers)
+        from amg_tpu.utils.phases import profile_phases
+
+        stats.phase = profile_phases(
+            hier, cfg, b, x0, num_cycles=min(max(stats.cycles, 1), 5)
+        )
     return stats

@@ -39,6 +39,7 @@ class SolveStats:
     level_n: list = field(default_factory=list)
     level_nnz: list = field(default_factory=list)
     grid_wait: Optional[dict] = None
+    phase: Optional[object] = None  # PhaseReport (print_level_stats mode)
 
     def convergence_factor(self) -> float:
         h = self.history
@@ -59,6 +60,8 @@ class SolveStats:
         if opts.print_level_stats:
             for k, (ln, lz) in enumerate(zip(self.level_n, self.level_nnz)):
                 print(f"  level {k}: n={ln} nnz={lz}")
+            if self.phase is not None:
+                self.phase.print_table()
         print(f"setup wtime    : {self.setup_wtime:.4f} s")
         print(f"solve wtime    : {self.solve_wtime:.4f} s")
         print(f"cycles         : {self.cycles}")
