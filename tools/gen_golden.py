@@ -1,0 +1,78 @@
+"""Generate golden convergence histories for the 5 BASELINE configs.
+
+Run once (deterministic: seeded PRNGs, fixed setup); the outputs under
+tests/golden/ are asserted exactly by tests/test_golden.py, so any
+regression in cycle count, residual trajectory, or hierarchy shape fails CI
+(the convergence-history oracle of SURVEY.md §4; reference:
+src/SMEM_Solve.cpp:95-103 -print_reshist).
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 python tools/gen_golden.py
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax as _jax
+
+_jax.config.update("jax_platforms", "cpu")
+
+import json
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden",
+)
+
+# the 5 BASELINE.md configs, sized for CI
+CONFIGS = {
+    # 1: 2D 5-pt Laplacian, sequential synchronous V-cycle to 1e-8
+    "config1_5pt_mult": dict(problem="5pt", n=32, solver="mult"),
+    # 2: 3D 27-pt, single-chip sync, Jacobi + Chebyshev
+    "config2_27pt_jacobi_cheby": dict(
+        problem="27pt", n=12, solver="mult", smoother="jacobi", accel="cheby",
+    ),
+    # 3: 3D async (SMEM bounded-staleness semantics)
+    "config3_27pt_async_multadd": dict(
+        problem="27pt", n=12, solver="async_multadd", seed=0,
+    ),
+    # 4: elasticity, multi-chip single-host row-partitioned V-cycle w/ halos
+    "config4_elasticity_dist": dict(
+        problem="elasticity", nx=16, ny=4, solver="mult",
+        smoother="l1_jacobi", outer_solver="pcg", num_devices=8,
+        comm="halo", device_format="ell",
+    ),
+    # 5: Maxwell curl-curl through the auxiliary-space (AMS) solver — the
+    # convergent path for curl-curl (classical AMG stalls at rho~0.99 on it,
+    # as expected without gradient-space handling); multi-host execution of
+    # the distributed programs is validated by tests/test_multiprocess.py
+    "config5_maxwell_ams": dict(
+        problem="maxwell", nx=6, solver="mult", outer_solver="ams_pcg",
+    ),
+}
+
+
+def main():
+    from amg_tpu.utils.config import SolverOptions
+    from amg_tpu.utils.runner import run_experiment
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, kw in CONFIGS.items():
+        st = run_experiment(SolverOptions(**kw))
+        rec = {
+            "config": kw,
+            "cycles": st.cycles,
+            "rel_resnorm": st.rel_resnorm,
+            "history": st.history,
+            "level_n": st.level_n,
+            "level_nnz": st.level_nnz,
+            "num_levels": st.num_levels,
+            "operator_complexity": st.operator_complexity,
+        }
+        path = os.path.join(GOLDEN_DIR, name + ".json")
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"{name}: cycles={st.cycles} rel={st.rel_resnorm:.3e} "
+              f"levels={st.num_levels}")
+
+
+if __name__ == "__main__":
+    main()
