@@ -196,6 +196,10 @@ def build_dist_hierarchy(hh, params, mesh: Mesh, comm: str = "gspmd"):
                 if hl.R_inj is not None
                 else None,
                 sm=sm,
+                P_id=cv(hl.P_id, nf_pad, nc_pad),
+                R_id=cv(hl.R_id, nc_pad, nf_pad)
+                if hl.R_id is not None
+                else None,
             )
         )
     A_coarse_pad = _pad_csr(
@@ -249,6 +253,8 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh) -> Hierarchy:
                 R_s=_shard_op(lv.R_s, mesh),
                 R_inj=_shard_op(lv.R_inj, mesh),
                 sm=_shard_smoother(lv.sm, mesh),
+                P_id=_shard_op(lv.P_id, mesh),
+                R_id=_shard_op(lv.R_id, mesh),
             )
         )
     return Hierarchy(

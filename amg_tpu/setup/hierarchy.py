@@ -89,8 +89,14 @@ class Level(NamedTuple):
     R: Optional[ELLMatrix]
     P_s: Optional[ELLMatrix]  # smoothed prolongation (multadd)
     R_s: Optional[ELLMatrix]
-    R_inj: Optional[ELLMatrix]  # injection restriction (AFACj)
+    R_inj: Optional[ELLMatrix]  # injection restriction
     sm: SmootherData
+    # AFACj ideal interpolant P_id = [-D_ff^-1 A_fc; I] and its transpose —
+    # the diagonal-Schur approximation of the true ideal [-A_ff^-1 A_fc; I],
+    # the semantics of the hypre patch's P_array_afacj (reference:
+    # src/DMEM_Setup.cpp:197-199, used src/DMEM_Mult.cpp:453-612)
+    P_id: Optional[ELLMatrix] = None
+    R_id: Optional[ELLMatrix] = None
 
 
 class Hierarchy(NamedTuple):
@@ -113,6 +119,8 @@ class HostLevel:
     P_s: Optional[CSRMatrix] = None
     R_s: Optional[CSRMatrix] = None
     R_inj: Optional[CSRMatrix] = None  # injection C-point restriction
+    P_id: Optional[CSRMatrix] = None  # AFACj ideal interpolant (diag-Schur)
+    R_id: Optional[CSRMatrix] = None
     cf: Optional[np.ndarray] = None
     weight: float = 1.0
 
@@ -204,6 +212,27 @@ def build_host_hierarchy(A: CSRMatrix, params: HierarchyParams) -> HostHierarchy
                 shape=(nc, level_A.n_rows),
             ).tocsr()
         )
+        # AFACj ideal interpolant: P_id = [-D_ff^-1 A_fc ; I] — one-point
+        # Jacobi approximation of the ideal [-A_ff^-1 A_fc ; I] (the hypre
+        # patch's P_array_afacj; reference: src/DMEM_Mult.cpp:453-612 uses
+        # it for the AFACj restrict/prolong chains). Vectorized from A's COO.
+        n_rows = level_A.n_rows
+        cmap = np.full(n_rows, -1, np.int64)
+        cmap[crows] = np.arange(nc)
+        Aco = level_A.to_scipy().tocoo()
+        diag = level_A.diagonal()
+        diag = np.where(diag == 0.0, 1.0, diag)
+        fc = (cf[Aco.row] != C_PT) & (cf[Aco.col] == C_PT)
+        pid_rows = np.concatenate([Aco.row[fc], crows])
+        pid_cols = np.concatenate([cmap[Aco.col[fc]], np.arange(nc)])
+        pid_data = np.concatenate(
+            [-Aco.data[fc] / diag[Aco.row[fc]], np.ones(nc)]
+        )
+        P_id_sp = _sp2.coo_matrix(
+            (pid_data, (pid_rows, pid_cols)), shape=(n_rows, nc)
+        ).tocsr()
+        hl.P_id = CSRMatrix.from_scipy(P_id_sp)
+        hl.R_id = CSRMatrix.from_scipy(P_id_sp.T.tocsr())
         if params.build_smoothed_transfers:
             scale = (
                 level_A.l1_row_norms()
@@ -280,6 +309,8 @@ def device_hierarchy(
                 R_s=convert(hl.R_s, dtype),
                 R_inj=convert(hl.R_inj, dtype),
                 sm=sm,
+                P_id=convert(hl.P_id, dtype),
+                R_id=convert(hl.R_id, dtype),
             )
         )
     coarse_dense = hh.levels[-1].A.to_dense()

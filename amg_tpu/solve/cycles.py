@@ -97,16 +97,31 @@ def mult_vcycle(
     return xs[0]
 
 
+def _chain_R(hier, cfg, lvl):
+    lv = hier.levels[lvl]
+    if cfg.cycle == CycleType.AFACJ and lv.R_id is not None:
+        # AFACj runs its chains through the ideal interpolants (the hypre
+        # patch's P_array_afacj, reference: src/DMEM_Mult.cpp:498-507)
+        return lv.R_id
+    if cfg.use_smoothed_transfers and lv.R_s is not None:
+        return lv.R_s
+    return lv.R
+
+
+def _chain_P(hier, cfg, lvl):
+    lv = hier.levels[lvl]
+    if cfg.cycle == CycleType.AFACJ and lv.P_id is not None:
+        return lv.P_id
+    if cfg.use_smoothed_transfers and lv.P_s is not None:
+        return lv.P_s
+    return lv.P
+
+
 def _restrict_chain(hier, cfg, r, k):
     """r_k = R_{k-1} … R_0 r (reference: src/DMEM_Add.cpp:224-255)."""
     rk = r
     for lvl in range(k):
-        R = (
-            hier.levels[lvl].R_s
-            if cfg.use_smoothed_transfers and hier.levels[lvl].R_s is not None
-            else hier.levels[lvl].R
-        )
-        rk = R @ rk
+        rk = _chain_R(hier, cfg, lvl) @ rk
     return rk
 
 
@@ -114,12 +129,7 @@ def _prolong_chain(hier, cfg, e, k):
     """c = P_0 … P_{k-1} e (reference: src/DMEM_Add.cpp:273-317)."""
     c = e
     for lvl in reversed(range(k)):
-        P = (
-            hier.levels[lvl].P_s
-            if cfg.use_smoothed_transfers and hier.levels[lvl].P_s is not None
-            else hier.levels[lvl].P
-        )
-        c = P @ c
+        c = _chain_P(hier, cfg, lvl) @ c
     return c
 
 
@@ -154,6 +164,29 @@ def additive_correction(
     """
     L = hier.num_levels
     cyc = cfg.cycle
+    if cyc == CycleType.AFACJ:
+        # AFACj (reference: DMEM_SyncAFACCycle, src/DMEM_Mult.cpp:453-612):
+        # level k smooths ITS OWN chained residual; the restrict/prolong
+        # chains run through the ideal interpolants (P_array_afacj =
+        # [-D_ff^-1 A_fc; I] semantics, see setup) while the final hop into
+        # level k uses the standard R/P (the SYNC_AFACJ branch) — no AFACx
+        # re-residualization.
+        if k == 0:
+            e = _add_level_smooth(hier, cfg, 0, r)
+            return e
+        rkm = _restrict_chain(hier, cfg, r, k - 1)  # ideal-interpolant chain
+        rk = hier.levels[k - 1].R @ rkm  # standard hop
+        if k == L - 1:
+            e = coarse_solve(hier, rk)
+        else:
+            lv = hier.levels[k]
+            e = smooth(
+                lv.A, lv.sm, cfg.smoother,
+                jnp.zeros_like(rk), rk,
+                num_sweeps=cfg.num_coarse_sweeps, zero_guess=True,
+            )
+        c = hier.levels[k - 1].P @ e  # standard prolong hop
+        return _prolong_chain(hier, cfg, c, k - 1)
     if cyc in (CycleType.MULTADD, CycleType.BPX) or k == L - 1:
         rk = _restrict_chain(hier, cfg, r, k)
         if k == L - 1:
@@ -164,17 +197,12 @@ def additive_correction(
         else:
             e = _add_level_smooth(hier, cfg, k, rk)
         return _prolong_chain(hier, cfg, e, k)
-    if cyc in (CycleType.AFACX, CycleType.AFACJ):
+    if cyc == CycleType.AFACX:
         # smooth at level k+1, prolong, re-residualize at level k, smooth
         # (reference: SMEM_Sync_Parfor_AFACx_Vcycle,
-        #  src/SMEM_Sync_AMG.cpp:296-406). AFACj restricts the final hop
-        # with the injection interpolant (the patch's P_array_afacj,
-        # reference: src/DMEM_Mult.cpp:453-612)
+        #  src/SMEM_Sync_AMG.cpp:296-406)
         rk = _restrict_chain(hier, cfg, r, k)
-        if cyc == CycleType.AFACJ and hier.levels[k].R_inj is not None:
-            rk1 = hier.levels[k].R_inj @ rk
-        else:
-            rk1 = hier.levels[k].R @ rk
+        rk1 = hier.levels[k].R @ rk
         lvc = hier.levels[k + 1]
         if k + 1 == L - 1:
             u_coarse = coarse_solve(hier, rk1)

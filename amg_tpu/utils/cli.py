@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-num_functions", type=int, default=d.num_functions)
     a("-sigma", type=float, default=d.sigma)
     a("-grading", type=float, default=d.grading)
+    a("-amr_rounds", type=int, default=d.amr_rounds)
+    a("-amr_theta", type=float, default=d.amr_theta)
     a("-hierarchy", default=d.hierarchy, choices=("algebraic", "structured"))
     a("-mixed_precision", action="store_true")
     a("-th", dest="strong_threshold", type=float, default=d.strong_threshold)

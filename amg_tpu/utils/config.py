@@ -26,7 +26,8 @@ SMOOTHERS = (
     "sym_jacobi", "sym_l1_jacobi",
 )
 
-PROBLEMS = ("5pt", "7pt", "27pt", "difconv", "vardifconv", "elasticity", "maxwell", "graded", "file")
+PROBLEMS = ("5pt", "7pt", "27pt", "difconv", "vardifconv", "elasticity",
+            "maxwell", "graded", "amr", "file")
 
 
 @dataclass
@@ -43,6 +44,8 @@ class SolverOptions:
     num_functions: int = 0  # 0 = auto (problem-dependent); >0 overrides
     sigma: float = 1.0  # maxwell conductivity
     grading: float = 2.5  # graded-mesh (AMR-analog) refinement exponent
+    amr_rounds: int = 3  # estimator-driven refinement rounds (-problem amr)
+    amr_theta: float = 0.5  # ThresholdRefiner marking fraction
 
     # hierarchy type: algebraic AMG or structured (geometric, PFMG-style,
     # gather-free — stencil problems only); mixed: f32 cycles + double-single

@@ -45,6 +45,13 @@ def build_problem(opts: SolverOptions):
         from amg_tpu.problems.amr import laplacian_graded
 
         return laplacian_graded(nx, ny, gamma=opts.grading)
+    if opts.problem == "amr":
+        from amg_tpu.problems.amr import amr_refine_loop
+
+        rounds = amr_refine_loop(
+            n0=nx, rounds=opts.amr_rounds, theta=opts.amr_theta
+        )
+        return rounds[-1]["problem"]
     if opts.problem == "file":
         from amg_tpu.problems.io import problem_from_file
 
