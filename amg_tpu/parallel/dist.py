@@ -65,10 +65,20 @@ def _shard_ell(m: Optional[ELLMatrix], mesh: Mesh) -> Optional[ELLMatrix]:
     )
 
 
+def _warn_replicated(what: str, detail: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"sharding fallback: {what} replicated over the mesh ({detail}) — "
+        f"memory/comm scaling is lost for this operand",
+        stacklevel=3,
+    )
+
+
 def _shard_op(m, mesh: Mesh):
     """Row-partition a device operator (ELL or BSR) over the mesh. BSR shards
-    along the row-*block* axis (replicated when nrb doesn't divide — small
-    coarse levels only)."""
+    along the row-*block* axis (replicated, with a warning, when nrb doesn't
+    divide — small coarse levels only)."""
     from amg_tpu.sparse.bsr import BSRMatrix
 
     if m is None or isinstance(m, ELLMatrix):
@@ -76,6 +86,8 @@ def _shard_op(m, mesh: Mesh):
     assert isinstance(m, BSRMatrix)
     D = mesh.devices.size
     ax = mesh.axis_names[0]
+    if m.nrb % D != 0:
+        _warn_replicated("BSR operator", f"nrb={m.nrb} % {D} devices != 0")
     spec_bc = P(ax, None) if m.nrb % D == 0 else P()
     spec_bl = P(ax, None, None, None) if m.nrb % D == 0 else P()
     return BSRMatrix(
@@ -94,6 +106,10 @@ def _shard_smoother(sm: SmootherData, mesh: Mesh) -> SmootherData:
             return None
         # shard over the block axis when it divides the mesh, else replicate
         # (small coarse levels)
+        if b.shape[0] % D != 0:
+            _warn_replicated(
+                "smoother blocks", f"{b.shape[0]} blocks % {D} devices != 0"
+            )
         spec = (
             P(mesh.axis_names[0], None, None) if b.shape[0] % D == 0 else P()
         )

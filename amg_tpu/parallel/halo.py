@@ -135,3 +135,56 @@ def halo_jacobi_sweep(A, mesh: Mesh, inv_wscale, axis_name: str = None):
         return u + iw * (b - mv(u, coeffs_))
 
     return jax.jit(sweep), coeffs
+
+
+@jax.tree_util.register_pytree_node_class
+class HaloStencilOperator:
+    """A stencil operator whose matvec runs the explicit ppermute halo
+    exchange — `@` semantics so smoothers/solvers (e.g. the distributed
+    async-smoothing family, reference src/DMEM_Smooth.cpp:16-313) use it
+    unchanged. Wraps halo_stencil_matvec; the mesh is looked up by axis name
+    (registered at build)."""
+
+    def __init__(self, base, coeffs, axis: str):
+        self.base = base  # StencilOperator | VarStencilOperator (static meta)
+        self.coeffs = coeffs
+        self.axis = axis
+
+    def tree_flatten(self):
+        return (self.coeffs,), (self.base, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0], aux[1])
+
+    @property
+    def shape(self):
+        n = int(np.prod(self.base.grid_shape))
+        return (n, n)
+
+    @property
+    def n_rows(self):
+        return self.shape[0]
+
+    def diagonal(self):
+        return self.base.diagonal()
+
+    def __matmul__(self, x):
+        from amg_tpu.parallel.spcomm import _MESH_BY_AXIS
+
+        mesh = _MESH_BY_AXIS[self.axis]
+        mv, _ = halo_stencil_matvec(self.base, mesh, self.axis)
+        return mv(x, self.coeffs)
+
+    def matvec(self, x):
+        return self @ x
+
+
+def make_halo_stencil(A, mesh: Mesh) -> HaloStencilOperator:
+    """Place a (Var)StencilOperator's coefficients on the mesh and return
+    the halo-exchanging operator (leading grid axis must divide the mesh)."""
+    from amg_tpu.parallel.spcomm import register_halo_mesh
+
+    register_halo_mesh(mesh)
+    _, coeffs = halo_stencil_matvec(A, mesh)
+    return HaloStencilOperator(A, coeffs, mesh.axis_names[0])

@@ -232,8 +232,32 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             fire_prob=opts.fire_prob,
         )
         nbr = block_neighbor_mask(prob.A, opts.num_blocks)
+        A_s, sm_s = hier.levels[0].A, hier.levels[0].sm
+        if (
+            opts.num_devices > 1
+            and prob.stencil is not None
+            and prob.stencil.grid_shape[0] % opts.num_devices == 0
+            and int(sm_s.scale.shape[0]) == prob.n
+        ):
+            # distributed one-level async smoothing: explicit ppermute halo
+            # exchange per sweep (the reference's finestIntra channel,
+            # src/DMEM_Smooth.cpp:16-313)
+            from amg_tpu.parallel import make_row_mesh
+            from amg_tpu.parallel.dist import shard_vector
+            from amg_tpu.parallel.halo import make_halo_stencil
+
+            halo_mesh = make_row_mesh(opts.num_devices)
+            A_s = make_halo_stencil(prob.stencil, halo_mesh)
+            sm_s = jax.tree_util.tree_map(
+                lambda v: shard_vector(v, halo_mesh)
+                if hasattr(v, "shape") and v.shape == (prob.n,)
+                else v,
+                sm_s,
+            )
+            b = shard_vector(b, halo_mesh)
+            x0 = shard_vector(x0, halo_mesh)
         res = async_smooth_solve(
-            hier.levels[0].A, hier.levels[0].sm, ascfg, nbr, b, x0,
+            A_s, sm_s, ascfg, nbr, b, x0,
             key=jax.random.PRNGKey(opts.seed),
             tol=opts.tol, max_cycles=opts.num_cycles,
         )

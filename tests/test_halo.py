@@ -79,3 +79,29 @@ def test_halo_jacobi_sweep_matches(mesh):
         )
     )
     np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-13)
+
+
+def test_halo_stencil_operator_matmul(mesh):
+    """HaloStencilOperator's @ equals the single-device stencil matvec."""
+    from amg_tpu.parallel.halo import make_halo_stencil
+
+    prob = laplacian_3d_27pt(16)
+    h = make_halo_stencil(prob.stencil, mesh)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random(prob.n))
+    ref = np.asarray(prob.stencil @ x)
+    got = np.asarray(jax.jit(lambda v: h @ v)(shard_vector(x, mesh)))
+    np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-13)
+
+
+def test_runner_async_smooth_distributed():
+    """The distributed one-level async smoothing path (halo exchange per
+    sweep, reference src/DMEM_Smooth.cpp:16-313) solves through the CLI."""
+    from amg_tpu.utils.config import SolverOptions
+    from amg_tpu.utils.runner import run_experiment
+
+    st = run_experiment(SolverOptions(
+        problem="7pt", n=16, solver="async_smooth", num_devices=8,
+        tol=1e-5, num_cycles=4000,
+    ))
+    assert st.rel_resnorm <= 1e-5
