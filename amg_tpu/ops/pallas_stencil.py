@@ -91,11 +91,15 @@ def _sweep_kernel(
       "sweep"     u + alpha*(b - A u)             (scalar alpha)
       "sweep_vec" u + scale*(b - A u)             (streamed scale input)
     """
-    if mode == "sweep_vec":
+    if mode == "sweep_vec_norm":
+        scale_ref, out_ref, norm_ref, bufs, acc_ref, sem = rest
+    elif mode == "sweep_vec":
         scale_ref, out_ref, bufs, acc_ref, sem = rest
+        norm_ref = None
     else:
         out_ref, bufs, acc_ref, sem = rest
         scale_ref = None
+        norm_ref = None
     g = pl.program_id(0)
     Yr, Xr = b_ref.shape[1], b_ref.shape[2]
 
@@ -227,6 +231,13 @@ def _sweep_kernel(
                 acc_ref[...] = acc_ref[...] + partial
 
     acc = acc_ref[...]
+    # interior mask computed in-register: interior is [1,Z]x[1,Y]x[1,X]
+    zi = jax.lax.broadcasted_iota(jnp.int32, (T, Yr, Xr), 0) + g * T
+    yi = jax.lax.broadcasted_iota(jnp.int32, (T, Yr, Xr), 1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (T, Yr, Xr), 2)
+    interior = (
+        (zi >= 1) & (zi <= Z) & (yi >= 1) & (yi <= Y) & (xi >= 1) & (xi <= X)
+    )
     if mode == "spmv":
         val = acc
     elif mode == "residual":
@@ -236,15 +247,16 @@ def _sweep_kernel(
     elif mode == "sweep_vec":
         # per-point scaling (L1-Jacobi etc.): scale streamed in padded layout
         val = scratch[1 : T + 1, :, :] + scale_ref[...] * (b_ref[...] - acc)
+    elif mode == "sweep_vec_norm":
+        # fused sweep + residual-norm partial: r = b - A u is the residual
+        # of the INCOMING iterate — one kernel emits both the swept u and
+        # this slab's sum(r^2), so the solve loop needs no separate residual
+        # pass for convergence monitoring
+        r = jnp.where(interior, b_ref[...] - acc, 0.0)
+        val = scratch[1 : T + 1, :, :] + scale_ref[...] * r
+        norm_ref[...] = jnp.full((1, LANE), jnp.sum(r * r) / LANE, r.dtype)
     else:
         raise ValueError(mode)
-    # interior mask computed in-register: interior is [1,Z]x[1,Y]x[1,X]
-    zi = jax.lax.broadcasted_iota(jnp.int32, (T, Yr, Xr), 0) + g * T
-    yi = jax.lax.broadcasted_iota(jnp.int32, (T, Yr, Xr), 1)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (T, Yr, Xr), 2)
-    interior = (
-        (zi >= 1) & (zi <= Z) & (yi >= 1) & (yi <= Y) & (xi >= 1) & (xi <= X)
-    )
     out_ref[...] = jnp.where(interior, val, 0.0)
 
 
@@ -284,15 +296,26 @@ def _stencil_kernel_impl(
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM), blk()]
     args = [u_pad, b_pad]
-    if mode == "sweep_vec":
+    if mode in ("sweep_vec", "sweep_vec_norm"):
         in_specs.append(blk())
         args.append(scale_pad)
+    out_shape = jax.ShapeDtypeStruct((Zr, Yr, Xr), u_pad.dtype)
+    out_specs = blk()
+    if mode == "sweep_vec_norm":
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((G, LANE), u_pad.dtype),
+        )
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Zr, Yr, Xr), u_pad.dtype),
+        out_shape=out_shape,
         grid=(G,),
         in_specs=in_specs,
-        out_specs=blk(),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, T + 2, Yr, Xr), u_pad.dtype),  # double-buffered u
             pltpu.VMEM((T, Yr, Xr), u_pad.dtype),

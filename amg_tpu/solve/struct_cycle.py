@@ -118,30 +118,65 @@ def struct_solve(
     return fn(hier, cfg, spec_static, spec.scale_pad, b, x0, tol, max_cycles)
 
 
+def _presweep_norm(spec, cfg, x_pad, b_pad):
+    """Pre-sweeps with the FIRST sweep fused to the incoming iterate's
+    residual-norm partials (mode sweep_vec_norm) — the convergence monitor
+    comes free with the sweep, no dedicated residual pass."""
+    y_pad, parts = stencil_kernel_padded(
+        x_pad, b_pad, spec.weights, spec.grid_shape, spec.offsets,
+        alpha=0.0, scale_pad=spec.scale_pad, mode="sweep_vec_norm",
+        slab=spec.slab,
+    )
+    for _ in range(cfg.num_pre_sweeps - 1):
+        y_pad = _fine(spec, "sweep_vec", y_pad, b_pad)
+    return y_pad, jnp.sqrt(jnp.sum(parts))
+
+
 def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
+    """Pipelined cycle loop: each body completes cycle k (residual →
+    coarse correct → post sweeps) and then runs cycle k+1's pre-sweeps,
+    whose fused norm IS ||r(x_k)|| — one fewer fine-grid pass per cycle
+    than monitoring with a separate residual, with iterates identical to
+    mult_vcycle (the discarded trailing pre-sweep never enters x)."""
     weights, offsets, grid_shape, slab = spec_static
     spec = StructKernelSpec(
         weights=weights, offsets=offsets, grid_shape=grid_shape, slab=slab,
         scale_pad=scale_pad,
     )
+    lv0 = hier.levels[0]
     b_pad = to_padded(b, grid_shape, slab)
     x_pad0 = to_padded(x0, grid_shape, slab)
-    r0 = _fine(spec, "residual", x_pad0, b_pad)
-    r0n = jnp.linalg.norm(r0.reshape(-1))
+    y0, r0n = _presweep_norm(spec, cfg, x_pad0, b_pad)
     safe_r0 = jnp.where(r0n == 0.0, 1.0, r0n)
     hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=b.dtype)
     hist0 = hist0.at[0].set(1.0)
 
+    def finish_cycle(y_pad):
+        """residual → restrict → coarse solve → prolong → post sweeps."""
+        r_pad = _fine(spec, "residual", y_pad, b_pad)
+        rc = lv0.R @ from_padded(r_pad, grid_shape)
+        if hier.num_levels == 2:
+            ec = hier.coarse_Ainv @ rc
+        else:
+            sub = Hierarchy(
+                levels=hier.levels[1:], coarse_Ainv=hier.coarse_Ainv
+            )
+            ec = mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
+        y_pad = y_pad + to_padded(lv0.P @ ec, grid_shape, slab)
+        for _ in range(cfg.num_post_sweeps):
+            y_pad = _fine(spec, "sweep_vec", y_pad, b_pad)
+        return y_pad
+
     def body(state):
-        x_pad, k, relnorm, hist = state
-        x_pad = struct_vcycle(hier, cfg, spec, x_pad, b_pad)
-        r_pad = _fine(spec, "residual", x_pad, b_pad)
-        new = jnp.linalg.norm(r_pad.reshape(-1)) / safe_r0
-        hist = hist.at[k + 1].set(new)
-        return (x_pad, k + 1, new, hist)
+        x_cyc, y_pad, k, relnorm, hist = state
+        x_new = finish_cycle(y_pad)  # completes cycle k+1 → x_{k+1}
+        y_new, rn = _presweep_norm(spec, cfg, x_new, b_pad)  # starts k+2
+        rel = rn / safe_r0  # = ||r(x_{k+1})|| / ||r0||
+        hist = hist.at[k + 1].set(rel)
+        return (x_new, y_new, k + 1, rel, hist)
 
     def cond(state):
-        _, k, relnorm, hist = state
+        _, _, k, relnorm, hist = state
         # stagnation guard: in f32 the achievable relative residual floors
         # around ~1e-5 at ~1e6 dofs — stop when a cycle no longer reduces
         # the residual by >1% instead of spinning to max_cycles (tighter
@@ -152,9 +187,10 @@ def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
         return (k < max_cycles) & (relnorm > tol) & ~stalled
 
     state = (
-        x_pad0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, b.dtype), hist0
+        x_pad0, y0, jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, b.dtype), hist0,
     )
-    x_pad, it, relnorm, hist = jax.lax.while_loop(cond, body, state)
+    x_pad, _, it, relnorm, hist = jax.lax.while_loop(cond, body, state)
     return StructSolveResult(
         x=from_padded(x_pad, grid_shape), iters=it, rel_resnorm=relnorm,
         history=hist,

@@ -78,3 +78,32 @@ class TestPallasStencil:
             for o, w in zip(st7.offsets, np.asarray(st7.weights))
         )
         assert _uniform_box_weights(taps7) is None
+
+
+def test_sweep_vec_norm_fused():
+    """sweep_vec_norm emits the swept iterate AND the incoming iterate's
+    residual-norm partials in one pass (the fused residual+norm of the
+    production struct solve loop)."""
+    st = laplacian_3d_27pt(8).stencil
+    gs = st.grid_shape
+    n = int(np.prod(gs))
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random(n))
+    b = jnp.asarray(rng.random(n))
+    scale = jnp.asarray(0.5 / stencil_to_csr(st).diagonal())
+    r_ref = np.asarray(b) - stencil_to_csr(st) @ np.asarray(u)
+    u_ref = np.asarray(u) + np.asarray(scale) * r_ref
+
+    up, bp = ps.to_padded(u, gs), ps.to_padded(b, gs)
+    sp_ = ps.to_padded(scale, gs)
+    weights = tuple(float(w) for w in np.asarray(st.weights))
+    out, norm = run_interp(
+        ps.stencil_kernel_padded, up, bp, weights, gs, st.offsets,
+        0.0, sp_, "sweep_vec_norm",
+    )
+    np.testing.assert_allclose(
+        np.asarray(ps.from_padded(out, gs)), u_ref, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(jnp.sum(norm)), float(np.sum(r_ref**2)), rtol=1e-12
+    )
