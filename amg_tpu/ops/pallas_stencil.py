@@ -79,6 +79,168 @@ def _uniform_box_weights(taps):
     return w_off, offs[(0, 0, 0)]
 
 
+def _sweep2_kernel(
+    u_hbm, b_hbm, *rest, box, dims, T, G, alpha, use_scale,
+):
+    """TWO fused weighted-Jacobi sweeps per launch (27-pt box stencils):
+
+        u'  = u  + scale * (b - A u)     on rows [gT-1, gT+T+1)
+        u'' = u' + scale * (b - A u')    on rows [gT,   gT+T)
+
+    One launch streams u once, b (and scale when use_scale) once, writes
+    u'' once — ~half the HBM passes per sweep and half the kernel launches.
+    The overlap rows of u' are recomputed per slab (reach-2 input halo), so
+    u'' is bit-identical to two single sweeps (tested in interpret mode).
+    use_scale=False applies the scalar `alpha` weight instead of a streamed
+    per-point scale (saves the third HBM stream + its VMEM buffers).
+    """
+    if use_scale:
+        (scale_hbm, out_ref, bufs, bbufs, sbufs, mid_ref, acc_ref,
+         sem) = rest
+    else:
+        out_ref, bufs, bbufs, mid_ref, acc_ref, sem = rest
+        scale_hbm = sbufs = None
+    g = pl.program_id(0)
+    Yr, Xr = out_ref.shape[1], out_ref.shape[2]
+    Z, Y, X = dims
+    w_off, w_c = box
+
+    # manual DMAs: u rows [gT-2, gT+T+2), b/scale rows [gT-1, gT+T+1),
+    # double-buffered across iterations; edge slabs zero-fill out-of-range
+    # rows (they are zero-shell rows anyway)
+    def dma(j, k, hbm, buf, halo, sem_slot):
+        lo = j * T - halo
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(lo, T + 2 * halo)],
+            buf.at[k],
+            sem.at[k, jnp.int32(sem_slot)],
+        )
+
+    streams = [(u_hbm, None, 2, 0), (b_hbm, None, 1, 1)]
+    if use_scale:
+        streams.append((scale_hbm, None, 1, 2))
+
+    def bufs_of(slot):
+        return (bufs, bbufs, sbufs)[slot]
+
+    def edge_fill(j, k):
+        @pl.when(j == 0)
+        def _():
+            bufs[k, 0:2, :, :] = jnp.zeros((2, Yr, Xr), bufs.dtype)
+            bbufs[k, 0:1, :, :] = jnp.zeros((1, Yr, Xr), bbufs.dtype)
+            if use_scale:
+                sbufs[k, 0:1, :, :] = jnp.zeros((1, Yr, Xr), sbufs.dtype)
+
+        @pl.when(j == G - 1)
+        def _():
+            bufs[k, T + 2 : T + 4, :, :] = jnp.zeros((2, Yr, Xr), bufs.dtype)
+            bbufs[k, T + 1 : T + 2, :, :] = jnp.zeros((1, Yr, Xr), bbufs.dtype)
+            if use_scale:
+                sbufs[k, T + 1 : T + 2, :, :] = jnp.zeros(
+                    (1, Yr, Xr), sbufs.dtype
+                )
+
+    def edge_copy(j, k, hbm, slot, halo):
+        lo = jnp.maximum(j * T - halo, 0)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(lo, T + halo)],
+            bufs_of(slot).at[k, pl.ds(jnp.where(j == 0, halo, 0), T + halo)],
+            sem.at[k, jnp.int32(slot)],
+        )
+
+    def start_slab(j, k):
+        interior = (j > 0) & (j < G - 1)
+
+        @pl.when(interior)
+        def _():
+            for hbm, _, halo, slot in streams:
+                dma(j, k, hbm, bufs_of(slot), halo, slot).start()
+
+        @pl.when(~interior)
+        def _():
+            # edge slabs: fetch the in-range window, zero-fill the rest
+            # (out-of-range rows are zero-shell rows anyway)
+            for hbm, _, halo, slot in streams:
+                edge_copy(j, k, hbm, slot, halo).start()
+            edge_fill(j, k)
+
+    def wait_slab(j, k):
+        for hbm, _, halo, slot in streams:
+            dma(j, k, hbm, bufs_of(slot), halo, slot).wait()
+
+    def wait_edge(j, k):
+        for hbm, _, halo, slot in streams:
+            edge_copy(j, k, hbm, slot, halo).wait()
+
+    @pl.when(g == 0)
+    def _():
+        start_slab(jnp.int32(0), jnp.int32(0))
+
+    @pl.when(g + 1 < G)
+    def _():
+        start_slab(g + 1, (g + 1) % 2)
+
+    k_cur = g % 2
+    interior_g = (g > 0) & (g < G - 1)
+
+    @pl.when(interior_g)
+    def _():
+        wait_slab(g, k_cur)
+
+    @pl.when(~interior_g)
+    def _():
+        wait_edge(g, k_cur)
+
+    u = bufs.at[k_cur]
+
+    def roll_y(a, dy):
+        return pltpu.roll(a, jnp.int32((-dy) % Yr), 1)
+
+    def roll_x(a, dx):
+        return pltpu.roll(a, jnp.int32((-dx) % Xr), 2)
+
+    def box_apply(src_ref, rows):
+        """(w_c - w_off)*center + w_off*boxsum over src rows [0, rows+2)."""
+        t = (
+            src_ref[0:rows, :, :]
+            + src_ref[1 : rows + 1, :, :]
+            + src_ref[2 : rows + 2, :, :]
+        )
+        t = t + roll_y(t, -1) + roll_y(t, 1)
+        t = t + roll_x(t, -1) + roll_x(t, 1)
+        return w_off * t + (w_c - w_off) * src_ref[1 : rows + 1, :, :]
+
+    def interior_mask(rows, zbase):
+        zi = jax.lax.broadcasted_iota(jnp.int32, (rows, Yr, Xr), 0) + zbase
+        yi = jax.lax.broadcasted_iota(jnp.int32, (rows, Yr, Xr), 1)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (rows, Yr, Xr), 2)
+        return (
+            (zi >= 1) & (zi <= Z) & (yi >= 1) & (yi <= Y)
+            & (xi >= 1) & (xi <= X)
+        )
+
+    s1 = sbufs[k_cur] if use_scale else alpha
+    s2 = sbufs[k_cur, 1 : T + 1, :, :] if use_scale else alpha
+    # sweep 1 on rows [gT-1, gT+T+1): mid_ref = u' (T+2 rows)
+    acc1 = box_apply(u, T + 2)
+    m1 = interior_mask(T + 2, g * T - 1)
+    mid_ref[...] = jnp.where(
+        m1,
+        u[1 : T + 3, :, :] + s1 * (bbufs[k_cur] - acc1),
+        0.0,
+    )
+    # sweep 2 on rows [gT, gT+T) from u'
+    acc2 = box_apply(mid_ref, T)
+    acc_ref[...] = acc2
+    m2 = interior_mask(T, g * T)
+    out_ref[...] = jnp.where(
+        m2,
+        mid_ref[1 : T + 1, :, :]
+        + s2 * (bbufs[k_cur, 1 : T + 1, :, :] - acc_ref[...]),
+        0.0,
+    )
+
+
 def _sweep_kernel(
     u_hbm, b_ref, *rest,
     taps, dims, T, G, alpha, mode,
@@ -129,35 +291,63 @@ def _sweep_kernel(
             sem.at[k, jnp.int32(2)],
         )
 
+    def dma_full(j, k):
+        # interior slabs: ONE contiguous (T+2)-row copy fetches slab + both
+        # halo rows — three small DMAs collapse into one large one (small
+        # halo-row DMAs pay fixed per-transfer cost and serialize the wait)
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T - 1, T + 2)],
+            bufs.at[k],
+            sem.at[k, jnp.int32(0)],
+        )
+
     def start_slab(j, k):
-        dma_mid(j, k).start()
+        interior = (j > 0) & (j < G - 1)
 
-        @pl.when(j > 0)
+        @pl.when(interior)
         def _():
-            dma_top(j, k).start()
+            dma_full(j, k).start()
 
-        @pl.when(j == 0)
+        @pl.when(~interior)
         def _():
-            bufs[k, 0:1, :, :] = jnp.zeros((1, Yr, Xr), bufs.dtype)
+            dma_mid(j, k).start()
 
-        @pl.when(j < G - 1)
-        def _():
-            dma_bot(j, k).start()
+            @pl.when(j > 0)
+            def _():
+                dma_top(j, k).start()
 
-        @pl.when(j == G - 1)
-        def _():
-            bufs[k, T + 1 : T + 2, :, :] = jnp.zeros((1, Yr, Xr), bufs.dtype)
+            @pl.when(j == 0)
+            def _():
+                bufs[k, 0:1, :, :] = jnp.zeros((1, Yr, Xr), bufs.dtype)
+
+            @pl.when(j < G - 1)
+            def _():
+                dma_bot(j, k).start()
+
+            @pl.when(j == G - 1)
+            def _():
+                bufs[k, T + 1 : T + 2, :, :] = jnp.zeros(
+                    (1, Yr, Xr), bufs.dtype
+                )
 
     def wait_slab(j, k):
-        dma_mid(j, k).wait()
+        interior = (j > 0) & (j < G - 1)
 
-        @pl.when(j > 0)
+        @pl.when(interior)
         def _():
-            dma_top(j, k).wait()
+            dma_full(j, k).wait()
 
-        @pl.when(j < G - 1)
+        @pl.when(~interior)
         def _():
-            dma_bot(j, k).wait()
+            dma_mid(j, k).wait()
+
+            @pl.when(j > 0)
+            def _():
+                dma_top(j, k).wait()
+
+            @pl.when(j < G - 1)
+            def _():
+                dma_bot(j, k).wait()
 
     @pl.when(g == 0)
     def _():
@@ -196,18 +386,17 @@ def _sweep_kernel(
         # separable fast path for the full 27-pt box with uniform off-center
         # weight: A u = (w_c - w_off) u + w_off * boxsum(u), and boxsum
         # factors into three 3-term axis sums — 8 slab adds instead of 27
-        # tap temporaries (which blow Mosaic's scoped-VMEM accounting)
+        # tap temporaries (which blow Mosaic's scoped-VMEM accounting).
+        # One acc_ref round-trip after the z sum bounds the number of live
+        # slab temporaries; the y/x passes stay in registers.
         w_off, w_c = box
-        t = (
+        acc_ref[...] = (
             scratch[0:T, :, :]
             + scratch[1 : T + 1, :, :]
             + scratch[2 : T + 2, :, :]
         )
-        acc_ref[...] = t
         t = acc_ref[...]
         t = t + roll_y(t, -1) + roll_y(t, 1)
-        acc_ref[...] = t
-        t = acc_ref[...]
         t = t + roll_x(t, -1) + roll_x(t, 1)
         acc_ref[...] = w_off * t + (w_c - w_off) * scratch[1 : T + 1, :, :]
     else:
@@ -254,7 +443,10 @@ def _sweep_kernel(
         # pass for convergence monitoring
         r = jnp.where(interior, b_ref[...] - acc, 0.0)
         val = scratch[1 : T + 1, :, :] + scale_ref[...] * r
-        norm_ref[...] = jnp.full((1, LANE), jnp.sum(r * r) / LANE, r.dtype)
+        # (1, 8, LANE) block keeps TPU tiling legal; host sums everything
+        norm_ref[...] = jnp.full(
+            (1, 8, LANE), jnp.sum(r * r) / (8 * LANE), r.dtype
+        )
     else:
         raise ValueError(mode)
     out_ref[...] = jnp.where(interior, val, 0.0)
@@ -287,6 +479,38 @@ def _stencil_kernel_impl(
         (int(o[0]), int(o[1]), int(o[2]), float(w))
         for o, w in zip(offsets, weights)
     )
+    if mode in ("sweep2", "sweep2_vec"):
+        use_scale = mode == "sweep2_vec"
+        box = _uniform_box_weights(taps)
+        assert box is not None, "sweep2 modes need the uniform 27-pt box"
+        assert G >= 2, "sweep2 modes need >= 2 z-slabs"
+        kernel2 = functools.partial(
+            _sweep2_kernel, box=box, dims=(Z, Y, X), T=T, G=G, alpha=alpha,
+            use_scale=use_scale,
+        )
+        hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+        scratch = [
+            pltpu.VMEM((2, T + 4, Yr, Xr), u_pad.dtype),
+            pltpu.VMEM((2, T + 2, Yr, Xr), u_pad.dtype),
+        ]
+        if use_scale:
+            scratch.append(pltpu.VMEM((2, T + 2, Yr, Xr), u_pad.dtype))
+        scratch += [
+            pltpu.VMEM((T + 2, Yr, Xr), u_pad.dtype),
+            pltpu.VMEM((T, Yr, Xr), u_pad.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ]
+        args = [u_pad, b_pad] + ([scale_pad] if use_scale else [])
+        return pl.pallas_call(
+            kernel2,
+            out_shape=jax.ShapeDtypeStruct((Zr, Yr, Xr), u_pad.dtype),
+            grid=(G,),
+            in_specs=[hbm] * len(args),
+            out_specs=pl.BlockSpec(
+                (T, Yr, Xr), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=scratch,
+        )(*args)
     kernel = functools.partial(
         _sweep_kernel, taps=taps, dims=(Z, Y, X), T=T, G=G, alpha=alpha,
         mode=mode,
@@ -304,11 +528,13 @@ def _stencil_kernel_impl(
     if mode == "sweep_vec_norm":
         out_shape = (
             out_shape,
-            jax.ShapeDtypeStruct((G, LANE), u_pad.dtype),
+            jax.ShapeDtypeStruct((G, 8, LANE), u_pad.dtype),
         )
         out_specs = (
             out_specs,
-            pl.BlockSpec((1, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 8, LANE), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
         )
     return pl.pallas_call(
         kernel,

@@ -14,6 +14,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from amg_tpu.ops.vector import axpy, dot, l2_norm
+
 
 class PCGResult(NamedTuple):
     x: jnp.ndarray
@@ -31,7 +33,7 @@ def pcg(
     max_iters: int = 100,
 ) -> PCGResult:
     r0 = b - matvec(x0)
-    bnorm = jnp.linalg.norm(r0)
+    bnorm = l2_norm(r0)
     safe_bnorm = jnp.where(bnorm == 0.0, 1.0, bnorm)
     z0 = precond(r0)
     history0 = jnp.full((max_iters + 1,), jnp.nan, dtype=b.dtype)
@@ -39,23 +41,23 @@ def pcg(
 
     def cond(state):
         x, r, z, p, rz, it, hist = state
-        return (it < max_iters) & (jnp.linalg.norm(r) / safe_bnorm > tol)
+        return (it < max_iters) & (l2_norm(r) / safe_bnorm > tol)
 
     def body(state):
         x, r, z, p, rz, it, hist = state
         Ap = matvec(p)
-        alpha = rz / jnp.dot(p, Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
+        alpha = rz / dot(p, Ap)
+        x = axpy(alpha, p, x)
+        r = axpy(-alpha, Ap, r)
         z = precond(r)
-        rz_new = jnp.dot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / rz
-        p = z + beta * p
-        hist = hist.at[it + 1].set(jnp.linalg.norm(r) / safe_bnorm)
+        p = axpy(beta, p, z)
+        hist = hist.at[it + 1].set(l2_norm(r) / safe_bnorm)
         return (x, r, z, p, rz_new, it + 1, hist)
 
-    init = (x0, r0, z0, z0, jnp.dot(r0, z0), jnp.asarray(0, jnp.int32), history0)
+    init = (x0, r0, z0, z0, dot(r0, z0), jnp.asarray(0, jnp.int32), history0)
     x, r, _, _, _, it, hist = jax.lax.while_loop(cond, body, init)
     return PCGResult(
-        x=x, iters=it, rel_resnorm=jnp.linalg.norm(r) / safe_bnorm, history=hist
+        x=x, iters=it, rel_resnorm=l2_norm(r) / safe_bnorm, history=hist
     )

@@ -1,17 +1,26 @@
 """Benchmark: SpMV+smoother nnz/s per chip on the 3D 27-pt Laplacian.
 
 The north-star metric of BASELINE.md: sustained nnz/s for the fused
-SpMV+smoother kernel (one weighted-Jacobi sweep), using the Pallas fused
-stencil kernel on TPU (amg_tpu/ops/pallas_stencil.py) and the XLA shifted-
-slice path on CPU. vs_baseline reports the fraction of the HBM-bandwidth
-roofline achieved (the reference publishes no numbers — BASELINE.json
-"published": {} — so speed-of-light is the yardstick).
+SpMV+smoother kernel (the production weighted-Jacobi smoother, which runs
+its two sweeps FUSED in one Pallas launch on TPU — mode "sweep2" of
+amg_tpu/ops/pallas_stencil.py: u and b stream once, two sweeps apply, so
+per-sweep HBM traffic is ~half of a standalone sweep). The XLA shifted-
+slice path is used on CPU.
+
+vs_baseline reports nnz/s against the SINGLE-sweep 3-pass HBM roofline
+(read u, read b, write u' at full bandwidth) — the speed-of-light yardstick
+for an unfused sweep (the reference publishes no numbers; BASELINE.json
+"published": {}). Values ABOVE 1.0 mean the fused double sweep beats what a
+perfect unfused sweep could ever do (measured 1.18x on v5e; the fused
+pair's own traffic bound is ~2x).
 
 Timing is the marginal cost per sweep ((t[N1] - t[N0]) / (N1 - N0) over
-chained dependent sweeps, result materialized) — immune to async-dispatch
+chained dependent launches, result materialized) — immune to async-dispatch
 and host-relay overhead artifacts.
 
-Prints ONE JSON line. Set AMG_BENCH_SMOKE=1 for a tiny CPU smoke run.
+The driver parses the LAST JSON line; auxiliary metrics (V-cycle wall time,
+single-sweep rate, BSR unstructured SpMV) print first.
+Set AMG_BENCH_SMOKE=1 for a tiny CPU smoke run.
 """
 
 import json
@@ -47,18 +56,26 @@ def main():
     rng = np.random.default_rng(0)
     n = prob.n
 
+    sweeps_per_launch = 1
     if on_tpu:
         import amg_tpu.ops.pallas_stencil as ps
 
-        slab = 8
+        slab = 4  # sweep2's reach-2 halos fit VMEM at T=4
         gs = prob.stencil.grid_shape
         up = ps.to_padded(jnp.asarray(rng.random(n), dtype), gs, slab)
         bp = ps.to_padded(jnp.asarray(rng.random(n), dtype), gs, slab)
         weights = tuple(float(w) for w in np.asarray(prob.stencil.weights))
         alpha = float((2.0 / 3.0) / 26.0)
         offsets = prob.stencil.offsets
+        sweeps_per_launch = 2
 
         def sweep(u):
+            # production smoother shape: two fused weighted-Jacobi sweeps
+            return ps.stencil_kernel_padded(
+                u, bp, weights, gs, offsets, alpha, None, "sweep2", slab
+            )
+
+        def sweep1(u):
             return ps.stencil_sweep_padded(
                 u, bp, weights, gs, offsets, alpha, slab
             )
@@ -92,17 +109,27 @@ def main():
         float(jnp.sum(zz))
         return time.perf_counter() - t0
 
-    k0, k1 = (1, 201) if smoke else (1, 301)
-    reps = 1 if smoke else 5
+    # deep chains: the launch-queue round-trip dominates short chains on the
+    # remote-relay backend, so marginal cost needs a wide spread
+    k0, k1 = (1, 201) if smoke else (51, 301)
+    reps = 1 if smoke else 4
     t0 = min(chained(k0) for _ in range(reps))
     t1 = min(chained(k1) for _ in range(reps))
-    per_sweep = (t1 - t0) / (k1 - k0)
+    per_sweep = (t1 - t0) / (k1 - k0) / sweeps_per_launch
     if per_sweep <= 0:  # timing noise on tiny smoke problems
         per_sweep = t1 / k1
     nnz_per_s = nnz / per_sweep
 
     bw = {"cpu": 50e9}.get(backend, 819e9)  # v5e HBM ~819 GB/s
     roofline_nnz_per_s = nnz / (_roofline_bytes_per_sweep(state_bytes) / bw)
+
+    # ---- auxiliary metrics (printed first; the driver parses the LAST
+    # line as the headline) ------------------------------------------------
+    if on_tpu:
+        aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s)
+    aux_vcycle(smoke, dtype)
+    aux_bsr(smoke, dtype)
+
     print(
         json.dumps(
             {
@@ -113,6 +140,127 @@ def main():
             }
         )
     )
+
+
+def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s):
+    """Standalone single-sweep rate (the round-1 headline, for comparison
+    against the fused-pair production number)."""
+    import jax
+
+    try:
+        z = sweep1(up)
+        jax.block_until_ready(z)
+
+        def chained(k):
+            zz = up
+            t0 = time.perf_counter()
+            for _ in range(k):
+                zz = sweep1(zz)
+            jax.block_until_ready(zz)
+            return time.perf_counter() - t0
+
+        t0 = min(chained(51) for _ in range(2))
+        t1 = min(chained(301) for _ in range(2))
+        per = max((t1 - t0) / 250, 1e-12)
+        print(json.dumps({
+            "metric": "single_sweep_nnz_per_s",
+            "value": nnz / per,
+            "unit": "nnz/s",
+            "vs_baseline": (nnz / per) / roofline_nnz_per_s,
+        }))
+    except Exception as e:
+        print(json.dumps({
+            "metric": "single_sweep_nnz_per_s", "error": str(e)[:200]
+        }))
+
+
+def aux_vcycle(smoke, dtype):
+    """Full V-cycle wall time through the production struct solve path
+    (fused Pallas fine level with pipelined residual-norm monitoring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from amg_tpu.problems import laplacian_3d_27pt
+    from amg_tpu.setup.structured import build_structured_hierarchy
+    from amg_tpu.smooth import SmootherType
+    from amg_tpu.solve import CycleConfig, CycleType, solve
+    from amg_tpu.solve.struct_cycle import struct_solve
+
+    try:
+        n_side = 16 if smoke else 126
+        prob = laplacian_3d_27pt(n_side)
+        _, hier = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI, dtype=dtype
+        )
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI
+        )
+        b = jnp.asarray(
+            np.random.default_rng(0).random(prob.n), dtype=dtype
+        )
+        # Pallas-fused struct path on TPU; generic XLA cycle on CPU
+        run = (
+            (lambda: struct_solve(hier, cfg, b, tol=1e-5, max_cycles=40))
+            if jax.default_backend() != "cpu"
+            else (lambda: solve(hier, cfg, b, tol=1e-5, max_cycles=40))
+        )
+        res = run()
+        jax.block_until_ready(res.x)
+        t0 = time.perf_counter()
+        res = run()
+        jax.block_until_ready(res.x)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "vcycle_ms",
+            "value": dt / max(int(res.iters), 1) * 1e3,
+            "unit": "ms/cycle",
+            "cycles": int(res.iters),
+            "rel_res": float(res.rel_resnorm),
+            "n": prob.n,
+        }))
+    except Exception as e:  # aux metrics must never sink the headline
+        print(json.dumps({"metric": "vcycle_ms", "error": str(e)[:200]}))
+
+
+def aux_bsr(smoke, dtype):
+    """Unstructured (BSR blocked-ELL) SpMV nnz/s — the gather-bound path."""
+    import jax
+    import jax.numpy as jnp
+
+    from amg_tpu.problems import laplacian_3d_7pt
+    from amg_tpu.sparse.bsr import bsr_from_csr
+
+    try:
+        n_side = 8 if smoke else 64
+        prob = laplacian_3d_7pt(n_side)
+        A = bsr_from_csr(prob.A, bm=8, bn=8, dtype=dtype)
+        x = jnp.asarray(
+            np.random.default_rng(0).random(prob.n), dtype=dtype
+        )
+        mv = jax.jit(lambda v: A @ v)
+        z = mv(x)
+        jax.block_until_ready(z)
+
+        def chained(k):
+            zz = x
+            t0 = time.perf_counter()
+            for _ in range(k):
+                zz = mv(zz)
+            jax.block_until_ready(zz)
+            return time.perf_counter() - t0
+
+        k0, k1 = (1, 21) if smoke else (1, 101)
+        t0 = min(chained(k0) for _ in range(2))
+        t1 = min(chained(k1) for _ in range(2))
+        per = max((t1 - t0) / (k1 - k0), 1e-12)
+        print(json.dumps({
+            "metric": "bsr_spmv_nnz_per_s",
+            "value": prob.A.nnz / per,
+            "unit": "nnz/s",
+            "n": prob.n,
+        }))
+    except Exception as e:
+        print(json.dumps({"metric": "bsr_spmv_nnz_per_s", "error": str(e)[:200]}))
 
 
 if __name__ == "__main__":

@@ -107,3 +107,54 @@ def test_sweep_vec_norm_fused():
     np.testing.assert_allclose(
         float(jnp.sum(norm)), float(np.sum(r_ref**2)), rtol=1e-12
     )
+
+
+def test_double_sweep_fused():
+    """sweep2_vec: two fused Jacobi sweeps per launch equal two single
+    sweeps exactly (reach-2 halo recompute)."""
+    st = laplacian_3d_27pt(10).stencil
+    gs = st.grid_shape
+    n = int(np.prod(gs))
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.random(n))
+    b = jnp.asarray(rng.random(n))
+    A = stencil_to_csr(st)
+    scale = jnp.asarray(0.6 / A.diagonal())
+    u1 = np.asarray(u) + np.asarray(scale) * (np.asarray(b) - A @ np.asarray(u))
+    u2 = u1 + np.asarray(scale) * (np.asarray(b) - A @ u1)
+
+    slab = 4
+    up, bp = ps.to_padded(u, gs, slab), ps.to_padded(b, gs, slab)
+    sp_ = ps.to_padded(scale, gs, slab)
+    weights = tuple(float(w) for w in np.asarray(st.weights))
+    out = run_interp(
+        ps.stencil_kernel_padded, up, bp, weights, gs, st.offsets,
+        0.0, sp_, "sweep2_vec", slab,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ps.from_padded(out, gs)), u2, atol=1e-12
+    )
+
+
+def test_double_sweep_scalar_alpha():
+    """sweep2 (scalar weight, no scale stream) equals two single sweeps."""
+    st = laplacian_3d_27pt(10).stencil
+    gs = st.grid_shape
+    n = int(np.prod(gs))
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.random(n))
+    b = jnp.asarray(rng.random(n))
+    A = stencil_to_csr(st)
+    alpha = 0.6 / float(A.diagonal()[0])
+    u1 = np.asarray(u) + alpha * (np.asarray(b) - A @ np.asarray(u))
+    u2 = u1 + alpha * (np.asarray(b) - A @ u1)
+    slab = 4
+    up, bp = ps.to_padded(u, gs, slab), ps.to_padded(b, gs, slab)
+    weights = tuple(float(w) for w in np.asarray(st.weights))
+    out = run_interp(
+        ps.stencil_kernel_padded, up, bp, weights, gs, st.offsets,
+        alpha, None, "sweep2", slab,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ps.from_padded(out, gs)), u2, atol=1e-12
+    )
