@@ -127,6 +127,10 @@ def grid_parallel_solve(
     axis = mesh.axis_names[0]
     D = mesh.devices.size
     assert len(levels_of) == D, "one level set per mesh device"
+    if acfg.comm_every > 1:
+        assert acfg.read_type == "sol" and acfg.res_mode == "recompute", (
+            "message coalescing (comm_every>1) supports READ_SOL/recompute"
+        )
     L = hier.num_levels
     n = b.shape[0]
     dtype = b.dtype
@@ -154,11 +158,15 @@ def grid_parallel_solve(
             )
             return stats[0], stats[1]
 
-        def level_correction(ring, cols, fire_lvl, lvl):
-            """Owner-only work: stale read (+ stale residual) + correction."""
+        def level_correction(ring, cols, fire_lvl, lvl, c_pend):
+            """Owner-only work: stale read (+ stale residual) + correction.
+            The device's own pending (not-yet-exchanged) corrections are
+            visible in its own reads — the reference applies its corrections
+            to its local x every cycle and ships them every Nth
+            (src/DMEM_Add.cpp:391-458)."""
             stale = _gather_stale(acfg, ring, cols, n)
             if acfg.read_type == "sol":
-                r_stale = b_ - A0 @ stale
+                r_stale = b_ - A0 @ (stale + acfg.omega * c_pend)
             else:
                 r_stale = stale
             c = scale[lvl] * additive_correction(hier_, cfg, r_stale, lvl)
@@ -166,11 +174,11 @@ def grid_parallel_solve(
 
         def make_branch(my_levels):
             def branch(op):
-                ring, cols_all, fire = op
+                ring, cols_all, fire, c_pend = op
                 c = jnp.zeros(n, dtype)
                 for lvl in my_levels:
                     c = c + level_correction(
-                        ring, cols_all[lvl], fire[lvl], lvl
+                        ring, cols_all[lvl], fire[lvl], lvl, c_pend
                     )
                 return c
 
@@ -197,8 +205,8 @@ def grid_parallel_solve(
         hist0 = hist0.at[0].set(1.0)
 
         def body(state):
-            (x, ring, lr, gw, marks, gcorr, r_state, k, relnorm, nflags,
-             hist, key_s) = state
+            (x, ring, lr, gw, marks, gcorr, r_state, c_pend, k, relnorm,
+             nflags, hist, key_s) = state
             key_s, kf, kp, *kreads = jax.random.split(key_s, 3 + L)
             fire = jax.random.uniform(kf, (L,), dtype) < probs
             if acfg.fail_level >= 0:
@@ -219,10 +227,21 @@ def grid_parallel_solve(
                 )
             cols_all = jnp.stack(cols_all)
 
-            # owner-only corrections; psum = the ACCUMULATE exchange
-            c_part = jax.lax.switch(d, branches, (ring, cols_all, fire))
-            total_c = acfg.omega * jax.lax.psum(c_part, axis)
+            # owner-only corrections; psum = the ACCUMULATE exchange. With
+            # comm_every > 1 the exchange fires only every Nth superstep;
+            # corrections coalesce into the pending buffer between flushes
+            # (the reference's -async_comm_save_divisor + in-flight pool
+            # coalescing, src/DMEM_Add.cpp:375-383)
+            c_part = jax.lax.switch(
+                d, branches, (ring, cols_all, fire, c_pend)
+            )
+            c_new = c_pend + c_part  # raw (unscaled) pending corrections
+            flush = ((k + 1) % acfg.comm_every) == 0
+            total_c = acfg.omega * jax.lax.psum(
+                jnp.where(flush, c_new, jnp.zeros_like(c_new)), axis
+            )
             x = x + total_c
+            c_pend = jnp.where(flush, jnp.zeros_like(c_new), c_new)
 
             # grid-wait accounting in random apply order (replicated;
             # reference: src/SMEM_Async_AMG.cpp:242-255)
@@ -253,19 +272,23 @@ def grid_parallel_solve(
                 snap = x if acfg.read_type == "sol" else r_maint
             else:
                 r_maint = r_state
-                r_true = b_ - A0 @ x
-                normsq, nfl = fused_norm_flags(r_true, relnorm)
+                # each device's partial comes from ITS local view (shared x
+                # plus its own pending corrections) — the fused reduction
+                # mixes local residuals exactly as the reference's
+                # InnerProdFlag over per-rank local residuals
+                r_loc = b_ - A0 @ (x + acfg.omega * c_pend)
+                normsq, nfl = fused_norm_flags(r_loc, relnorm)
                 relnorm = jnp.sqrt(normsq) / safe_r0
-                snap = x if acfg.read_type == "sol" else r_true
+                snap = x if acfg.read_type == "sol" else r_loc
             hist = hist.at[k + 1].set(relnorm)
             ring = ring.at[(k + 1) % W].set(snap)
             return (
-                x, ring, new_lr, gw, marks, gcorr, r_maint, k + 1,
+                x, ring, new_lr, gw, marks, gcorr, r_maint, c_pend, k + 1,
                 relnorm, nfl, hist, key_s,
             )
 
         def cond(state):
-            k, relnorm, nflags = state[7], state[8], state[9]
+            k, relnorm, nflags = state[8], state[9], state[10]
             # done-flag lattice: exit once every device's flag (summed in
             # the SAME psum as the norm) reaches 1; the fresh relnorm check
             # terminates without the extra flag-propagation step
@@ -273,13 +296,16 @@ def grid_parallel_solve(
 
         state = (
             x0_, ring0, lr0, gw0, jnp.zeros(L, jnp.int32),
-            jnp.zeros((), jnp.int32), r0, jnp.asarray(0, jnp.int32),
+            jnp.zeros((), jnp.int32), r0, jnp.zeros(n, dtype),
+            jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
             hist0, key_,
         )
-        x, _, _, gw, _, _, _, it, relnorm, _, hist, _ = jax.lax.while_loop(
-            cond, body, state
-        )
+        (x, _, _, gw, _, _, _, c_pend, it, relnorm, _, hist,
+         _) = jax.lax.while_loop(cond, body, state)
+        # unflushed pending corrections enter the final answer (the drain
+        # loop of the reference's AsyncRecvCleanup, src/DMEM_Add.cpp:827-890)
+        x = x + acfg.omega * jax.lax.psum(c_pend, axis)
         return AsyncResult(
             x=x, iters=it, rel_resnorm=relnorm, history=hist, grid_wait=gw
         )

@@ -61,6 +61,13 @@ class AsyncConfig:
     # src/DMEM_Misc.cpp:612-666). omega = 2/(alpha+beta) from eig bounds of
     # the synchronous additive operator, damped for staleness (see runner).
     omega: float = 1.0
+    # message coalescing (grid-parallel solver only): corrections are
+    # exchanged (psum'd) every comm_every supersteps; between exchanges each
+    # device accumulates its corrections locally and sees them in its OWN
+    # reads immediately — the reference's -async_comm_save_divisor + the
+    # in-flight pool's accumulate-into-pending-buffer coalescing
+    # (reference: src/DMEM_Add.cpp:375-383, src/DMEM_Comm.cpp:25-79)
+    comm_every: int = 1
     # fault injection: levels in delay_levels fire with delay_prob instead
     delay_levels: Tuple[int, ...] = ()
     delay_prob: float = 0.5

@@ -169,3 +169,53 @@ def test_plan_grid_levels_contiguous():
     for ls in levels_of:
         owned.update(ls)
     assert owned == set(range(L))
+
+
+class TestMessageCoalescing:
+    """comm_every > 1: corrections exchange every Nth superstep, locally
+    visible immediately (reference -async_comm_save_divisor +
+    in-flight-pool coalescing, src/DMEM_Add.cpp:375-383)."""
+
+    def test_comm_every_converges(self, setup32):
+        prob, hh, hier, b = setup32
+        mesh = make_row_mesh(4)
+        _, levels_of, scale = plan_grid_levels(hh, 4)
+        base = None
+        for ce in (1, 2, 4):
+            acfg = AsyncConfig(
+                omega=0.7, fire_prob=0.8, sim_read_delay=1,
+                async_type="semi", comm_every=ce,
+            )
+            res = grid_parallel_solve(
+                hier, CFG, acfg, levels_of, scale, mesh, b,
+                tol=1e-8, max_cycles=600,
+            )
+            assert float(res.rel_resnorm) <= 1e-8, f"comm_every={ce}"
+            r = np.asarray(b) - prob.A @ np.asarray(res.x)
+            assert (
+                np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 5e-8
+            ), f"true residual recheck comm_every={ce}"
+            if ce == 1:
+                base = int(res.iters)
+        # saving messages costs iterations but not correctness
+        assert base is not None
+
+    def test_comm_every_one_unchanged(self, setup32):
+        """comm_every=1 must reproduce the uncoalesced trajectory."""
+        prob, hh, hier, b = setup32
+        mesh = make_row_mesh(4)
+        _, levels_of, scale = plan_grid_levels(hh, 4)
+        import jax as _jax
+
+        key = _jax.random.PRNGKey(3)
+        a1 = AsyncConfig(omega=0.7, fire_prob=0.6, sim_read_delay=2,
+                         async_type="semi", comm_every=1)
+        ref = async_solve(hier, CFG, a1, b, key=key, tol=1e-8, max_cycles=120)
+        res = grid_parallel_solve(
+            hier, CFG, a1, levels_of, scale, mesh, b, key=key,
+            tol=1e-8, max_cycles=120,
+        )
+        assert int(res.iters) == int(ref.iters)
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.asarray(ref.x), rtol=1e-9, atol=1e-12
+        )
