@@ -23,8 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_solves():
-    nproc = 2
+def _spawn_round(nproc: int):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -41,6 +40,16 @@ def test_two_process_solves():
     for p in procs:
         out, _ = p.communicate(timeout=400)
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_solves():
+    nproc = 2
+    procs, outs = _spawn_round(nproc)
+    if any(p.returncode != 0 for p in procs):
+        # one retry: distributed init can time out under full-suite load on
+        # an oversubscribed CI host (2 cores running 8+ virtual devices)
+        procs, outs = _spawn_round(nproc)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
     results = []
