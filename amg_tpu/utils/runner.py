@@ -131,6 +131,19 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             smoother=smoother,
             smooth_weight=opts.smooth_weight,
         )
+        if opts.num_devices > 1:
+            # geometric hierarchy over the mesh: grid coefficient arrays
+            # sharded along the major axis, GSPMD inserts the stencil halos
+            from amg_tpu.parallel import make_row_mesh
+            from amg_tpu.parallel.dist import (
+                pad_vector,
+                shard_structured_hierarchy,
+                unpad_vector,
+            )
+
+            mesh = make_row_mesh(opts.num_devices)
+            hier = shard_structured_hierarchy(hier, mesh)
+            pad_info = (prob.n, prob.n)  # no padding on the structured path
     elif opts.num_devices > 1:
         from amg_tpu.parallel import make_row_mesh
         from amg_tpu.parallel.dist import (

@@ -213,3 +213,20 @@ class TestFusedStructCycle:
         np.testing.assert_allclose(
             np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-13
         )
+
+
+def test_runner_structured_distributed():
+    """Structured (geometric) hierarchy sharded over the mesh through the
+    CLI path — iteration count matches single device."""
+    from amg_tpu.utils.config import SolverOptions
+    from amg_tpu.utils.runner import run_experiment
+
+    st1 = run_experiment(SolverOptions(
+        problem="27pt", n=16, hierarchy="structured", solver="mult",
+    ))
+    st8 = run_experiment(SolverOptions(
+        problem="27pt", n=16, hierarchy="structured", solver="mult",
+        num_devices=8,
+    ))
+    assert st8.rel_resnorm <= 1e-8
+    assert st8.cycles == st1.cycles
