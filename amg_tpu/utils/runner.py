@@ -361,6 +361,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         and opts.accel == "none"
         and opts.outer_solver == "none"
         and opts.num_devices <= 1
+        and jax.default_backend() != "cpu"  # Pallas needs a real TPU
     ):
         # fused Pallas fine-level path (production single-chip stencil solve)
         from amg_tpu.solve.struct_cycle import struct_solve
