@@ -92,6 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-comm", default=d.comm, choices=("halo", "gspmd"))
     a("-imbal", type=float, default=d.imbal)
     a("-only_setup", action="store_true")
+    a("-only_build_matrix", action="store_true")
+    a("-print_matrix", default=d.print_matrix)
     a("-num_runs", type=int, default=d.num_runs)
     return p
 

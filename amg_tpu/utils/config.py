@@ -137,6 +137,8 @@ class SolverOptions:
     comm: str = "halo"
     imbal: float = 0.0  # artificial work-model imbalance (reference -imbal)
     only_setup: bool = False  # reference -only_setup
+    only_build_matrix: bool = False  # reference -only_build_matrix
+    print_matrix: str = ""  # dump A as binary triplets to this path
     num_runs: int = 1
 
     def fixup(self) -> "SolverOptions":

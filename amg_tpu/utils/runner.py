@@ -91,6 +91,16 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
     )
     timer = Timer()
     prob = build_problem(opts)
+    if opts.print_matrix:
+        # matrix dump in the reference's binary-triplet record format
+        # (reference: DMEM_PrintParCSRMatrix / WriteCSR)
+        from amg_tpu.problems.io import write_binary_triplets
+
+        write_binary_triplets(opts.print_matrix, prob.A)
+    if opts.only_build_matrix:
+        stats.n, stats.nnz = prob.n, prob.A.nnz
+        stats.setup_wtime = timer.lap()
+        return stats
     smoother = SmootherType(opts.smoother)
     if opts.num_functions > 0:
         num_functions = opts.num_functions
@@ -248,27 +258,41 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         A_s, sm_s = hier.levels[0].A, hier.levels[0].sm
         if (
             opts.num_devices > 1
-            and prob.stencil is not None
-            and prob.stencil.grid_shape[0] % opts.num_devices == 0
             and int(sm_s.scale.shape[0]) == prob.n
         ):
-            # distributed one-level async smoothing: explicit ppermute halo
-            # exchange per sweep (the reference's finestIntra channel,
-            # src/DMEM_Smooth.cpp:16-313)
+            # distributed one-level async smoothing: explicit halo exchange
+            # per sweep (the reference's finestIntra channel,
+            # src/DMEM_Smooth.cpp:16-313) — ppermute plane exchange for
+            # stencils, boundary-segment HaloELL for unstructured matrices
             from amg_tpu.parallel import make_row_mesh
             from amg_tpu.parallel.dist import shard_vector
-            from amg_tpu.parallel.halo import make_halo_stencil
 
             halo_mesh = make_row_mesh(opts.num_devices)
-            A_s = make_halo_stencil(prob.stencil, halo_mesh)
-            sm_s = jax.tree_util.tree_map(
-                lambda v: shard_vector(v, halo_mesh)
-                if hasattr(v, "shape") and v.shape == (prob.n,)
-                else v,
-                sm_s,
-            )
-            b = shard_vector(b, halo_mesh)
-            x0 = shard_vector(x0, halo_mesh)
+            D = opts.num_devices
+            if (
+                prob.stencil is not None
+                and prob.stencil.grid_shape[0] % D == 0
+            ):
+                from amg_tpu.parallel.halo import make_halo_stencil
+
+                A_s = make_halo_stencil(prob.stencil, halo_mesh)
+            elif prob.n % D == 0:
+                from amg_tpu.parallel.spcomm import build_halo_ell
+
+                A_s = build_halo_ell(prob.A, halo_mesh, dtype=params.dtype)
+            else:
+                A_s = None  # row count doesn't divide; stay single-device
+            if A_s is not None:
+                sm_s = jax.tree_util.tree_map(
+                    lambda v: shard_vector(v, halo_mesh)
+                    if hasattr(v, "shape") and v.shape == (prob.n,)
+                    else v,
+                    sm_s,
+                )
+                b = shard_vector(b, halo_mesh)
+                x0 = shard_vector(x0, halo_mesh)
+            else:
+                A_s = hier.levels[0].A
         res = async_smooth_solve(
             A_s, sm_s, ascfg, nbr, b, x0,
             key=jax.random.PRNGKey(opts.seed),

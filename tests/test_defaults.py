@@ -51,3 +51,23 @@ def test_fixup_defaults_additive_accel():
     # outer PCG suppresses the auto-acceleration
     opts = SolverOptions(solver="multadd", outer_solver="pcg").fixup()
     assert opts.accel == "none"
+
+
+def test_staged_smoke_flags(tmp_path):
+    """-only_build_matrix / -print_matrix staged smoke (reference:
+    -only_build_matrix, DMEM_Main.cpp:661-667; matrix dump round-trip)."""
+    from amg_tpu.problems.io import read_binary_triplets
+
+    path = str(tmp_path / "a.bin")
+    st = _run(problem="5pt", n=8, only_build_matrix=True, print_matrix=path)
+    assert st.n == 64 and st.cycles == 0
+    A = read_binary_triplets(path)
+    assert A.n_rows == 64 and A.nnz == 288
+
+
+def test_async_smooth_distributed_unstructured():
+    """One-level async smoothing over HaloELL for a matrix with no stencil
+    (the unstructured finestIntra channel)."""
+    st = _run(problem="graded", n=17, solver="async_smooth", num_devices=8,
+              tol=1e-4, num_cycles=4000)
+    assert st.rel_resnorm <= 1e-4
