@@ -139,6 +139,50 @@ def hmis(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     return cf
 
 
+def hmis_exact(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
+    """Textbook HMIS (De Sterck/Yang/Heys 2006; hypre coarsen type 10):
+    the classical RS first pass fixes its C set outright (even where two RS
+    C-points are symmetric-graph neighbors — HMIS's C is deliberately not a
+    strict MIS), its strong dependents become F, and PMIS then runs on the
+    remaining undecided points only."""
+    n = S.shape[0]
+    rs = _rs_first_pass(S, seed)
+    rng = np.random.default_rng(seed)
+    ST = S.T.tocsr()
+    meas = np.asarray(ST.sum(axis=1)).reshape(-1).astype(np.float64)
+    meas += rng.random(n)
+    G = _sym_neighbors(S)
+    cf = np.full(n, F_PT, dtype=np.int8)
+    undecided = np.ones(n, dtype=bool)
+    iso = np.asarray(G.sum(axis=1)).reshape(-1) == 0
+    undecided[iso] = False
+    # pre-select the RS first-pass C set
+    pre = rs == C_PT
+    cf[pre] = C_PT
+    undecided[pre] = False
+    dep = S @ pre.astype(np.int8)
+    undecided[np.asarray(dep).reshape(-1) > 0] = False  # F (already F_PT)
+    G = G.multiply(undecided[:, None]).multiply(undecided[None, :]).tocsr()
+    while undecided.any():
+        m = np.where(undecided, meas, -1.0)
+        neigh_max = np.full(n, -np.inf)
+        if G.nnz:
+            gi, gj = G.nonzero()
+            vals = np.where(undecided[gj], m[gj], -np.inf)
+            np.maximum.at(neigh_max, gi, vals)
+        selected = undecided & (m > neigh_max)
+        if not selected.any():
+            idx = np.argmax(np.where(undecided, meas, -1.0))
+            selected = np.zeros(n, dtype=bool)
+            selected[idx] = True
+        cf[selected] = C_PT
+        undecided[selected] = False
+        dep = S @ selected.astype(np.int8)
+        undecided[undecided & (np.asarray(dep).reshape(-1) > 0)] = False
+        G = G.multiply(undecided[:, None]).multiply(undecided[None, :]).tocsr()
+    return cf
+
+
 def pmis_native(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     """PMIS via the native C++ backend (native/amg_setup.cpp) — same MIS
     properties, its own deterministic tie-breaking randoms. Falls back to
@@ -166,5 +210,6 @@ COARSENING = {
     "pmis": pmis,
     "hmis": hmis_native,  # native by default; numpy fallback inside
     "hmis_py": hmis,
+    "hmis_exact": hmis_exact,  # textbook HMIS (RS C set pre-selected)
     "pmis_native": pmis_native,
 }

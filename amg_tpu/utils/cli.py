@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-mixed_precision", action="store_true")
     a("-th", dest="strong_threshold", type=float, default=d.strong_threshold)
     a("-coarsen", dest="coarsen_type", default=d.coarsen_type,
-      choices=("pmis", "hmis"))
+      choices=("pmis", "hmis", "hmis_exact"))
     a("-interp", dest="interp_type", default=d.interp_type,
       choices=("direct", "ext+i"))
     a("-Pmax", dest="p_max_elmts", type=int, default=d.p_max_elmts)

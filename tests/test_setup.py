@@ -159,3 +159,43 @@ class TestHierarchy:
         )
         # rho(L1^-1 A) <= 1 always ⇒ L1 weight >= Jacobi weight
         assert hh_l1.levels[0].weight > hh_j.levels[0].weight
+
+
+class TestHmisExact:
+    """Textbook HMIS (RS first-pass C set pre-selected, then PMIS on the
+    rest — hypre coarsen type 10 semantics)."""
+
+    def test_valid_splitting(self):
+        import scipy.sparse as sp
+
+        from amg_tpu.problems import laplacian_2d_5pt
+        from amg_tpu.setup.coarsen import (
+            C_PT, F_PT, _rs_first_pass, hmis_exact,
+        )
+        from amg_tpu.setup.strength import strength_graph
+
+        prob = laplacian_2d_5pt(20)
+        S = strength_graph(prob.A, 0.25)
+        cf = hmis_exact(S, seed=0)
+        # the RS first-pass C set is contained in the final C set
+        rs = _rs_first_pass(S, seed=0)
+        assert np.all(cf[rs == C_PT] == C_PT)
+        # every F point with strong connections depends on some C point
+        Sc = S.tocsr()
+        for i in np.flatnonzero(cf == F_PT):
+            cols = Sc.indices[Sc.indptr[i]:Sc.indptr[i + 1]]
+            if cols.size:
+                assert (cf[cols] == C_PT).any(), f"F point {i} stranded"
+        # nontrivial coarsening
+        nc = (cf == C_PT).sum()
+        assert 0 < nc < prob.n
+
+    def test_solves(self):
+        from amg_tpu.utils.config import SolverOptions
+        from amg_tpu.utils.runner import run_experiment
+
+        st = run_experiment(SolverOptions(
+            problem="5pt", n=24, solver="mult", coarsen_type="hmis_exact",
+        ))
+        assert st.rel_resnorm <= 1e-8
+        assert st.cycles <= 25
