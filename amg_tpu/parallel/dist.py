@@ -171,16 +171,30 @@ def build_dist_hierarchy(hh, params, mesh: Mesh, comm: str = "gspmd"):
     from amg_tpu.setup.hierarchy import Hierarchy as H, Level as L_, _format_converter
     from amg_tpu.smooth import make_smoother_data
 
+    D = mesh.devices.size
     if comm == "halo":
-        from amg_tpu.parallel.spcomm import build_halo_ell
+        from amg_tpu.parallel.spcomm import build_halo_bsr, build_halo_ell
+        from amg_tpu.sparse.bsr import bsr_fill_stats
 
-        convert = lambda m, dtype: build_halo_ell(m, mesh, dtype=dtype)
+        use_bsr = params.device_format in ("bsr", "auto")
+
+        def convert(m, dtype):
+            bm, bn = params.bsr_bm, params.bsr_bn
+            if (
+                use_bsr
+                and m.n_rows % (D * bm) == 0
+                and m.n_cols % (D * bn) == 0
+                and bsr_fill_stats(m, bm=bm, bn=bn)["blowup"]
+                <= params.bsr_max_blowup
+            ):
+                return build_halo_bsr(m, mesh, bm=bm, bn=bn, dtype=dtype)
+            return build_halo_ell(m, mesh, dtype=dtype)
+
     else:
         convert = _format_converter(params)
-    D = mesh.devices.size
     # BSR row-block sharding needs n % (bm*D) == 0; pad to 16*D (covers all
     # auto-chosen tile heights) whenever a blocked format may be selected
-    unit = D if (params.device_format == "ell" or comm == "halo") else 16 * D
+    unit = D if params.device_format == "ell" else 16 * D
     pad = lambda n: -(-n // unit) * unit
     sizes = [lv.A.n_rows for lv in hh.levels]
     psizes = [pad(n) for n in sizes]
@@ -245,12 +259,12 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh) -> Hierarchy:
     Note: the fine level must be in ELL form for a sharded run (build the
     hierarchy with keep_stencil_fine=False); the stencil fast path has its own
     halo-exchange formulation (future work: Pallas remote-DMA stencil)."""
-    from amg_tpu.parallel.spcomm import HaloELL
+    from amg_tpu.parallel.spcomm import HaloBSR, HaloELL
     from amg_tpu.sparse.bsr import BSRMatrix
 
     levels = []
     for lv in hier.levels:
-        if isinstance(lv.A, HaloELL):
+        if isinstance(lv.A, (HaloELL, HaloBSR)):
             # halo operators are placed (device-put, row-stacked) at build
             # time — only the smoother state still needs sharding
             levels.append(lv._replace(sm=_shard_smoother(lv.sm, mesh)))

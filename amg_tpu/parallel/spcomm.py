@@ -114,20 +114,23 @@ class HaloELL:
         return nbuf * S * self.vals.dtype.itemsize
 
 
-def _exchange(a: HaloELL, x_loc):
-    """Ship boundary segments; returns the flat receive pool."""
+def _exchange(a, x_loc):
+    """Ship boundary segments; returns the receive pool, first axis = slot.
+    Works for scalar segments (x_loc (n,)) and block segments (x_loc
+    (ncb, bn) — HaloBSR ships whole bn-wide column blocks)."""
     send_idx = a.send_idx[0]
+    tail = x_loc.shape[1:]
     if a.offsets:
         recvs = []
         for j, perm in enumerate(a.perms):
-            seg = x_loc[send_idx[j]]  # (S,)
+            seg = x_loc[send_idx[j]]  # (S, *tail)
             recvs.append(jax.lax.ppermute(seg, a.axis, list(perm)))
         return jnp.concatenate(recvs) if recvs else jnp.zeros(
-            (1,), x_loc.dtype
+            (1,) + tail, x_loc.dtype
         )
-    send_buf = x_loc[send_idx]  # (D, S)
+    send_buf = x_loc[send_idx]  # (D, S, *tail)
     recv = jax.lax.all_to_all(send_buf, a.axis, split_axis=0, concat_axis=0)
-    return recv.reshape(-1)
+    return recv.reshape((-1,) + tail)
 
 
 def _local_spmv(a: HaloELL, cols, vals, send_idx, ghost_map, x_loc):
@@ -191,6 +194,68 @@ def halo_spmv(a: HaloELL, x: jnp.ndarray) -> jnp.ndarray:
     return fn(a.cols, a.vals, a.send_idx, a.ghost_map, x)
 
 
+def _build_exchange_pattern(ghost_lists, n_loc_c, D, max_ppermute_offsets):
+    """Shared pattern math for HaloELL/HaloBSR: given each device's sorted
+    unique external (column or column-block) ids, compute the per-peer send
+    lists, offset classes, ppermute pair lists, and ghost maps. Returns
+    (send_idx, ghost_map, offs, perms, S, G)."""
+    G = max(max((g.size for g in ghost_lists), default=0), 1)
+    seg_counts = np.zeros((D, D), np.int64)
+    segs = [[None] * D for _ in range(D)]
+    for d in range(D):
+        g = ghost_lists[d]
+        owner = g // n_loc_c
+        for p in range(D):
+            s = g[owner == p] - p * n_loc_c
+            segs[p][d] = s
+            seg_counts[p, d] = s.size
+    pairs = np.argwhere(seg_counts > 0)
+    off_of = {}
+    for p, d in pairs:
+        off_of.setdefault(int((d - p) % D), []).append((int(p), int(d)))
+    offs = tuple(sorted(off_of))
+    use_ppermute = 0 < len(offs) <= max_ppermute_offsets
+    S = max(int(seg_counts.max()), 1)
+    if use_ppermute:
+        m = len(offs)
+        send_idx = np.zeros((D, m, S), np.int32)
+        perms = []
+        for j, o in enumerate(offs):
+            perms.append(tuple(off_of[o]))
+            for p, d in off_of[o]:
+                s = segs[p][d]
+                send_idx[p, j, : s.size] = s
+        perms = tuple(perms)
+        ghost_map = np.zeros((D, G), np.int32)
+        for d in range(D):
+            g = ghost_lists[d]
+            owner = g // n_loc_c
+            for j, o in enumerate(offs):
+                p = (d - o) % D
+                msk = owner == p
+                if msk.any():
+                    ghost_map[d, np.flatnonzero(msk)] = (
+                        j * S + np.arange(msk.sum())
+                    ).astype(np.int32)
+    else:
+        offs, perms = (), ()
+        send_idx = np.zeros((D, D, S), np.int32)
+        ghost_map = np.zeros((D, G), np.int32)
+        for p in range(D):
+            for d in range(D):
+                s = segs[p][d]
+                send_idx[p, d, : s.size] = s
+        for d in range(D):
+            g = ghost_lists[d]
+            owner = g // n_loc_c
+            pos = np.zeros(g.size, np.int64)
+            for p in range(D):
+                msk = owner == p
+                pos[msk] = np.arange(msk.sum())
+            ghost_map[d, : g.size] = (owner * S + pos).astype(np.int32)
+    return send_idx, ghost_map, offs, perms, S, G
+
+
 def build_halo_ell(csr, mesh: Mesh, dtype=None, max_ppermute_offsets=None):
     """Build the halo pattern for a host CSR whose row and column counts are
     multiples of the mesh size (pad first — see parallel.dist._pad_csr).
@@ -223,66 +288,9 @@ def build_halo_ell(csr, mesh: Mesh, dtype=None, max_ppermute_offsets=None):
         ghost_lists.append(np.unique(cols_d[~own]))
         per_dev.append((lo, hi, cols_d, own))
 
-    G = max(max((g.size for g in ghost_lists), default=0), 1)
-    # segment lists: segs[p][d] = ghost cols of d owned by p (local to p)
-    seg_counts = np.zeros((D, D), np.int64)
-    segs = [[None] * D for _ in range(D)]
-    for d in range(D):
-        g = ghost_lists[d]
-        owner = g // n_loc_c
-        for p in range(D):
-            s = g[owner == p] - p * n_loc_c
-            segs[p][d] = s
-            seg_counts[p, d] = s.size
-
-    # neighbor structure: offset classes (d - p) mod D with traffic
-    pairs = np.argwhere(seg_counts > 0)  # (p, d)
-    off_of = {}
-    for p, d in pairs:
-        off_of.setdefault(int((d - p) % D), []).append((int(p), int(d)))
-    offs = tuple(sorted(off_of))
-    use_ppermute = 0 < len(offs) <= max_ppermute_offsets
-    S = max(int(seg_counts.max()), 1)
-
-    if use_ppermute:
-        m = len(offs)
-        send_idx = np.zeros((D, m, S), np.int32)
-        perms = []
-        for j, o in enumerate(offs):
-            perms.append(tuple(off_of[o]))
-            for p, d in off_of[o]:
-                s = segs[p][d]
-                send_idx[p, j, : s.size] = s
-        perms = tuple(perms)
-        # receive pool layout: [offset j block of S] per offset; device d's
-        # segment from p=(d-o_j)%D sits at j*S + position
-        ghost_map = np.zeros((D, G), np.int32)
-        for d in range(D):
-            g = ghost_lists[d]
-            owner = g // n_loc_c
-            for j, o in enumerate(offs):
-                p = (d - o) % D
-                msk = owner == p
-                if msk.any():
-                    ghost_map[d, np.flatnonzero(msk)] = (
-                        j * S + np.arange(msk.sum())
-                    ).astype(np.int32)
-    else:
-        offs, perms = (), ()
-        send_idx = np.zeros((D, D, S), np.int32)
-        ghost_map = np.zeros((D, G), np.int32)
-        for p in range(D):
-            for d in range(D):
-                s = segs[p][d]
-                send_idx[p, d, : s.size] = s
-        for d in range(D):
-            g = ghost_lists[d]
-            owner = g // n_loc_c
-            pos = np.zeros(g.size, np.int64)
-            for p in range(D):
-                msk = owner == p
-                pos[msk] = np.arange(msk.sum())
-            ghost_map[d, : g.size] = (owner * S + pos).astype(np.int32)
+    send_idx, ghost_map, offs, perms, S, G = _build_exchange_pattern(
+        ghost_lists, n_loc_c, D, max_ppermute_offsets
+    )
 
     cols_arr = np.zeros((D, n_loc, k), np.int64)
     vals_arr = np.zeros((D, n_loc, k), np.float64)
@@ -317,6 +325,185 @@ def build_halo_ell(csr, mesh: Mesh, dtype=None, max_ppermute_offsets=None):
         shape=(n_rows, n_cols),
         n_loc=n_loc,
         n_loc_c=n_loc_c,
+        axis=ax,
+        offsets=offs,
+        perms=perms,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class HaloBSR:
+    """Block-row-partitioned blocked-ELL (BSR) operator with a halo pattern
+    at BLOCK-COLUMN granularity — the gather-amortized unstructured format
+    (amg_tpu.sparse.bsr) combined with boundary-segment exchange: each
+    shipped segment element is one bn-wide column block, so the exchange
+    moves dense chunks instead of scalars.
+
+    block_cols: (D, nrb_loc, kb) — remapped (< ncb_loc own, >= ncb_loc ghost)
+    blocks:     (D, nrb_loc, kb, bm, bn)
+    send_idx/ghost_map/offsets/perms: as HaloELL, over block columns.
+    """
+
+    block_cols: jnp.ndarray
+    blocks: jnp.ndarray
+    send_idx: jnp.ndarray
+    ghost_map: jnp.ndarray
+    shape: Tuple[int, int]
+    nrb_loc: int
+    ncb_loc: int
+    axis: str
+    offsets: Tuple[int, ...]
+    perms: Tuple[Tuple[Tuple[int, int], ...], ...]
+
+    def tree_flatten(self):
+        return (
+            (self.block_cols, self.blocks, self.send_idx, self.ghost_map),
+            (self.shape, self.nrb_loc, self.ncb_loc, self.axis,
+             self.offsets, self.perms),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def shape_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def bm(self) -> int:
+        return self.blocks.shape[3]
+
+    @property
+    def bn(self) -> int:
+        return self.blocks.shape[4]
+
+    @property
+    def nnz_padded(self) -> int:
+        return int(np.prod(self.blocks.shape))
+
+    def __matmul__(self, x):
+        return halo_bsr_spmv(self, x)
+
+    def matvec(self, x):
+        return halo_bsr_spmv(self, x)
+
+    def comm_bytes_per_matvec(self) -> int:
+        nbuf = self.send_idx.shape[1]
+        S = self.send_idx.shape[2]
+        return nbuf * S * self.bn * self.blocks.dtype.itemsize
+
+
+def _local_bsr_spmv(a: HaloBSR, bc, blk, send_idx, ghost_map, x_loc):
+    bc, blk, ghost_map = bc[0], blk[0], ghost_map[0]
+    bn = blk.shape[3]
+    xb = x_loc.reshape(a.ncb_loc, bn)
+    # exchange whole bn-wide column blocks
+    shim = HaloELL(
+        cols=None, vals=None, send_idx=send_idx, ghost_map=ghost_map,
+        shape=a.shape, n_loc=a.nrb_loc, n_loc_c=a.ncb_loc, axis=a.axis,
+        offsets=a.offsets, perms=a.perms,
+    )
+    pool = _exchange(shim, xb)  # (n_sent, bn) stacked segments
+    ghost = pool[ghost_map]  # (G, bn)
+    xg = jnp.concatenate([xb, ghost], axis=0)
+    g = xg[bc]  # (nrb_loc, kb, bn)
+    y = jnp.einsum("rkij,rkj->ri", blk, g, preferred_element_type=blk.dtype)
+    return y.reshape(-1)
+
+
+def halo_bsr_spmv(a: HaloBSR, x: jnp.ndarray) -> jnp.ndarray:
+    mesh = _MESH_BY_AXIS[a.axis]
+    ax = a.axis
+    if _COMM_TRACE is not None:
+        _COMM_TRACE.append(a.comm_bytes_per_matvec())
+    fn = jax.shard_map(
+        lambda bc, blk, s, g, xl: _local_bsr_spmv(a, bc, blk, s, g, xl),
+        mesh=mesh,
+        in_specs=(
+            P(ax, None, None), P(ax, None, None, None, None),
+            P(ax, None, None), P(ax, None),
+            P(ax),
+        ),
+        out_specs=P(ax),
+    )
+    return fn(a.block_cols, a.blocks, a.send_idx, a.ghost_map, x)
+
+
+def build_halo_bsr(
+    csr, mesh: Mesh, bm: int = 8, bn: int = 8, dtype=None,
+    max_ppermute_offsets=None,
+) -> HaloBSR:
+    """Build a HaloBSR from a host CSR whose row count is a multiple of
+    D*bm and column count a multiple of D*bn (pad first)."""
+    from amg_tpu.sparse.bsr import bsr_from_csr
+
+    D = int(mesh.devices.size)
+    ax = mesh.axis_names[0]
+    n, m = csr.shape
+    assert n % (D * bm) == 0 and m % (D * bn) == 0, (
+        f"halo BSR needs n % (D*bm) == 0 and m % (D*bn) == 0 "
+        f"({n}x{m}, D={D}, bm={bm}, bn={bn})"
+    )
+    if dtype is None:
+        dtype = jnp.float64
+    if max_ppermute_offsets is None:
+        max_ppermute_offsets = max(D // 2, 2)
+    g = bsr_from_csr(csr, bm=bm, bn=bn, dtype=jnp.float64)
+    bc_np = np.asarray(g.block_cols)
+    blk_np = np.asarray(g.blocks, dtype=np.float64)
+    nrb, kb = bc_np.shape
+    nrb_loc = nrb // D
+    ncb = -(-m // bn)
+    ncb_loc = ncb // D
+    # padded slots (zero tiles at block-col 0) must not create ghost traffic
+    valid = np.abs(blk_np).sum(axis=(2, 3)) > 0.0
+
+    ghost_lists = []
+    for d in range(D):
+        bc_d = bc_np[d * nrb_loc : (d + 1) * nrb_loc]
+        v_d = valid[d * nrb_loc : (d + 1) * nrb_loc]
+        ext = bc_d[v_d & ((bc_d < d * ncb_loc) | (bc_d >= (d + 1) * ncb_loc))]
+        ghost_lists.append(np.unique(ext))
+    send_idx, ghost_map, offs, perms, S, G = _build_exchange_pattern(
+        ghost_lists, ncb_loc, D, max_ppermute_offsets
+    )
+    bc_remap = np.zeros((D, nrb_loc, kb), np.int64)
+    for d in range(D):
+        bc_d = bc_np[d * nrb_loc : (d + 1) * nrb_loc].astype(np.int64)
+        gl = ghost_lists[d]
+        own = (bc_d >= d * ncb_loc) & (bc_d < (d + 1) * ncb_loc)
+        v_d = valid[d * nrb_loc : (d + 1) * nrb_loc]
+        remap = np.where(
+            own, bc_d - d * ncb_loc, ncb_loc + np.searchsorted(gl, bc_d)
+        )
+        # padded/invalid slots point at local block 0 (zero tiles anyway)
+        remap = np.where(v_d, remap, 0)
+        bc_remap[d] = remap
+
+    register_halo_mesh(mesh)
+    blk_sh = NamedSharding(mesh, P(ax, None, None, None, None))
+    mat_sh = NamedSharding(mesh, P(ax, None, None))
+    return HaloBSR(
+        block_cols=jax.device_put(jnp.asarray(bc_remap, INDEX_DTYPE), mat_sh),
+        blocks=jax.device_put(
+            jnp.asarray(
+                blk_np.reshape(D, nrb_loc, kb, bm, bn), dtype=dtype
+            ),
+            blk_sh,
+        ),
+        send_idx=jax.device_put(jnp.asarray(send_idx), mat_sh),
+        ghost_map=jax.device_put(
+            jnp.asarray(ghost_map), NamedSharding(mesh, P(ax, None))
+        ),
+        shape=(n, m),
+        nrb_loc=nrb_loc,
+        ncb_loc=ncb_loc,
         axis=ax,
         offsets=offs,
         perms=perms,
