@@ -136,4 +136,5 @@ def test_two_level_vs_independent_oracle():
 
 def test_goldens_exist():
     names = {os.path.basename(p) for p in GOLDEN_FILES}
-    assert len(names) == 5, f"expected 5 BASELINE goldens, have {names}"
+    # 5 BASELINE configs + 2 distributed round-2 configs
+    assert len(names) == 7, f"expected 7 goldens, have {names}"

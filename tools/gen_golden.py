@@ -47,6 +47,15 @@ CONFIGS = {
     "config5_maxwell_ams": dict(
         problem="maxwell", nx=6, solver="mult", outer_solver="ams_pcg",
     ),
+    # round-2 distributed paths, pinned beyond the 5 BASELINE configs:
+    # grid (level) parallelism over 8 devices and the halo-exchange V-cycle
+    "config6_grid_async_multadd": dict(
+        problem="5pt", n=32, solver="async_multadd", num_devices=8, seed=0,
+    ),
+    "config7_halo_dist_mult": dict(
+        problem="27pt", n=12, solver="mult", num_devices=8, comm="halo",
+        device_format="ell",
+    ),
 }
 
 
