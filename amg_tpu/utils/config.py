@@ -19,7 +19,11 @@ ASYNC_SOLVERS = ("async_multadd", "async_afacx", "async_bpx")
 SMOOTH_SOLVERS = ("async_smooth",)  # one-level async relaxation (finest grid)
 EXT_SOLVERS = ("explicit_ext_bpx", "implicit_ext_bpx",
                "async_explicit_ext_bpx", "async_implicit_ext_bpx")
-ALL_SOLVERS = SYNC_SOLVERS + ASYNC_SOLVERS + EXT_SOLVERS + SMOOTH_SOLVERS
+# the reference's short names (aliased to the EXT solvers in fixup)
+EXT_ALIASES = ("eebpx", "iebpx", "async_eebpx", "async_iebpx")
+ALL_SOLVERS = (
+    SYNC_SOLVERS + ASYNC_SOLVERS + EXT_SOLVERS + SMOOTH_SOLVERS + EXT_ALIASES
+)
 
 SMOOTHERS = (
     "jacobi", "l1_jacobi", "hybrid_jgs", "gs",
@@ -143,6 +147,14 @@ class SolverOptions:
 
     def fixup(self) -> "SolverOptions":
         """Derived-flag rules, as in the reference's post-parse fixups."""
+        # the reference's short extended-system solver names
+        aliases = {
+            "eebpx": "explicit_ext_bpx",
+            "iebpx": "implicit_ext_bpx",
+            "async_eebpx": "async_explicit_ext_bpx",
+            "async_iebpx": "async_implicit_ext_bpx",
+        }
+        self.solver = aliases.get(self.solver, self.solver)
         if self.solver == "par_bpx":
             # the reference's PAR_BPX = BPX flattened over the concatenated
             # multilevel vector (src/SMEM_Sync_AMG.cpp:147-294) — here that

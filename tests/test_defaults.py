@@ -71,3 +71,15 @@ def test_async_smooth_distributed_unstructured():
     st = _run(problem="graded", n=17, solver="async_smooth", num_devices=8,
               tol=1e-4, num_cycles=4000)
     assert st.rel_resnorm <= 1e-4
+
+
+def test_ext_solver_aliases():
+    """The reference's short solver names (eebpx/iebpx family) resolve."""
+    for alias, full in (
+        ("eebpx", "explicit_ext_bpx"),
+        ("iebpx", "implicit_ext_bpx"),
+        ("async_eebpx", "async_explicit_ext_bpx"),
+        ("async_iebpx", "async_implicit_ext_bpx"),
+    ):
+        opts = SolverOptions(solver=alias).fixup()
+        assert opts.solver == full
