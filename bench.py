@@ -223,17 +223,24 @@ def aux_vcycle(smoke, dtype):
 
 
 def aux_bsr(smoke, dtype):
-    """Unstructured (BSR blocked-ELL) SpMV nnz/s — the gather-bound path."""
+    """Unstructured (BSR blocked-ELL) SpMV nnz/s — the gather-bound path,
+    on an elasticity matrix (the block structure BSR exists for), with the
+    cost-model auto tile."""
     import jax
     import jax.numpy as jnp
 
-    from amg_tpu.problems import laplacian_3d_7pt
-    from amg_tpu.sparse.bsr import bsr_from_csr
+    from amg_tpu.problems.elasticity import elasticity_beam
+    from amg_tpu.sparse.bsr import bsr_from_csr, choose_bsr_shape
 
     try:
-        n_side = 8 if smoke else 64
-        prob = laplacian_3d_7pt(n_side)
-        A = bsr_from_csr(prob.A, bm=8, bn=8, dtype=dtype)
+        prob = (
+            elasticity_beam(nx=8, ny=3)
+            if smoke
+            else elasticity_beam(nx=48, ny=12, nz=12)
+        )
+        shape, _ = choose_bsr_shape(prob.A)
+        bm, bn = shape if shape is not None else (8, 8)
+        A = bsr_from_csr(prob.A, bm=bm, bn=bn, dtype=dtype)
         x = jnp.asarray(
             np.random.default_rng(0).random(prob.n), dtype=dtype
         )
