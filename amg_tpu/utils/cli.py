@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-read_type", default=d.read_type, choices=("sol", "res"))
     a("-sim_read_delay", type=int, default=d.sim_read_delay)
     a("-fire_prob", type=float, default=d.fire_prob)
+    a("-async_comm_save_divisor", type=int,
+      default=d.async_comm_save_divisor)
     a("-delay_levels", type=int, nargs="*", default=[])
     a("-delay_prob", type=float, default=d.delay_prob)
     a("-fail_level", type=int, default=d.fail_level)

@@ -101,6 +101,10 @@ class SolverOptions:
     sim_read_delay: int = 4
     fire_prob: float = 0.5
 
+    # message coalescing for the grid-parallel async exchange (the
+    # reference's -async_comm_save_divisor, src/DMEM_Add.cpp:375-383)
+    async_comm_save_divisor: int = 1
+
     # async one-level smoothing / stochastic parallel Southwell
     # (reference: -sps_alpha, -sps_rand, src/DMEM_Main.cpp:448-460)
     sps_method: str = "southwell_exp"  # fixed | southwell_exp | southwell_inv

@@ -355,6 +355,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             fail_start=opts.fail_start,
             fail_duration=opts.fail_duration,
             omega=omega,
+            comm_every=max(opts.async_comm_save_divisor, 1),
         )
         if opts.num_devices > 1 and opts.grid_parallel:
             from amg_tpu.parallel.grid import (
