@@ -436,6 +436,15 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         competitor.wait()
     stats.cycles = int(res.iters)
     stats.rel_resnorm = float(res.rel_resnorm)
+    if opts.rhs == "zeros" and opts.init_guess != "zeros":
+        # zero-RHS experiment: the iterate IS the error; report the relative
+        # A-norm error (reference: e_Anorm/e0_Anorm, src/DMEM_Misc.cpp:63-65)
+        A_np = prob.A
+        x_np = np.asarray(res.x)[: prob.n]
+        x0_np = np.asarray(x0)[: prob.n]
+        eA = float(np.sqrt(max(x_np @ (A_np @ x_np), 0.0)))
+        e0A = float(np.sqrt(max(x0_np @ (A_np @ x0_np), 1e-300)))
+        stats.e_anorm_rel = eA / e0A
     h = np.asarray(res.history)
     stats.history = h[~np.isnan(h)].tolist()
     stats.grid_wait = gw

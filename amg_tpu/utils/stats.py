@@ -40,6 +40,9 @@ class SolveStats:
     level_nnz: list = field(default_factory=list)
     grid_wait: Optional[dict] = None
     phase: Optional[object] = None  # PhaseReport (print_level_stats mode)
+    # relative A-norm error for zero-RHS runs (reference: e_Anorm/e0_Anorm,
+    # src/DMEM_Misc.cpp:63-65)
+    e_anorm_rel: Optional[float] = None
 
     def convergence_factor(self) -> float:
         h = self.history
@@ -66,6 +69,8 @@ class SolveStats:
         print(f"solve wtime    : {self.solve_wtime:.4f} s")
         print(f"cycles         : {self.cycles}")
         print(f"rel res 2-norm : {self.rel_resnorm:.6e}")
+        if self.e_anorm_rel is not None:
+            print(f"rel A-norm err : {self.e_anorm_rel:.6e}")
         print(f"conv factor    : {self.convergence_factor():.4f}")
         if opts.print_reshist:
             print("reshist:")

@@ -83,3 +83,14 @@ def test_ext_solver_aliases():
     ):
         opts = SolverOptions(solver=alias).fixup()
         assert opts.solver == full
+
+
+def test_anorm_error_zero_rhs():
+    """Zero-RHS A-norm error metric (reference e_Anorm/e0_Anorm)."""
+    st = _run(problem="5pt", n=24, solver="mult", rhs="zeros",
+              init_guess="rand")
+    assert st.e_anorm_rel is not None
+    assert st.e_anorm_rel <= 1e-7
+    # rhs != zeros → metric absent
+    st = _run(problem="5pt", n=16, solver="mult")
+    assert st.e_anorm_rel is None
