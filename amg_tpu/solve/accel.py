@@ -20,6 +20,7 @@ second run for the smallest eigenvalue.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -86,38 +87,60 @@ def estimate_cycle_eigs(
     num_iters: int = 20,
     seed: int = 0,
     range_start: bool = False,
+    operand=None,
 ) -> ChebyCoeffs:
     """Eigenvalue bounds of the cycle-preconditioned operator M^-1 A by power
-    iteration + shifted power iteration (host loop over jitted applies).
+    iteration + shifted power iteration (one jitted loop).
 
     range_start=True starts iterates inside range(op) (one extra apply) so the
     smallest-eigenvalue run finds the smallest NONZERO eigenvalue of a
-    singular operator — needed for the (semidefinite) extended BPX system."""
+    singular operator — needed for the (semidefinite) extended BPX system.
+
+    operand: optional pytree passed as the first argument to apply_MinvA
+    (i.e. apply_MinvA(operand, u)). Required when the operator's arrays are
+    sharded over a multi-process mesh — jit cannot close over global arrays
+    that span non-addressable devices."""
     rng = np.random.default_rng(seed)
-    apply_j = jax.jit(apply_MinvA)
-    u = jnp.asarray(rng.random(n), dtype=dtype)
-    if range_start:
-        u = apply_j(u)
-    lam_max = 1.0
-    for _ in range(num_iters):
-        u = u / jnp.linalg.norm(u)
-        v = apply_j(u)
-        lam_max = float(jnp.dot(u, v))
-        u = v
-    lam_max = abs(lam_max)
-    # shifted run: power iteration on (lam_max I - M^-1 A) → lam_max - lam_min
-    u = jnp.asarray(rng.random(n), dtype=dtype)
-    if range_start:
-        u = apply_j(u)
-    rho = 0.0
-    for _ in range(num_iters):
-        u = u / jnp.linalg.norm(u)
-        v = lam_max * u - apply_j(u)
-        rho = float(jnp.dot(u, v))
-        u = v
-    lam_min = max(lam_max - abs(rho), 1e-12)
+
+    def apply(op, u):
+        return apply_MinvA(u) if operand is None else apply_MinvA(op, u)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(op, u1, u2):
+        if range_start:
+            u1 = apply(op, u1)
+            u2 = apply(op, u2)
+
+        def body_max(i, carry):
+            u, _ = carry
+            u = u / jnp.linalg.norm(u)
+            v = apply(op, u)
+            return (v, jnp.dot(u, v))
+
+        _, lam_max = jax.lax.fori_loop(
+            0, num_iters, body_max, (u1, jnp.asarray(1.0, dtype))
+        )
+        lam_max = jnp.abs(lam_max)
+
+        def body_min(i, carry):
+            u, _ = carry
+            u = u / jnp.linalg.norm(u)
+            v = lam_max * u - apply(op, u)
+            return (v, jnp.dot(u, v))
+
+        _, rho = jax.lax.fori_loop(
+            0, num_iters, body_min, (u2, jnp.asarray(0.0, dtype))
+        )
+        lam_min = jnp.maximum(lam_max - jnp.abs(rho), 1e-12)
+        return lam_max, lam_min
+
+    u1 = jnp.asarray(rng.random(n), dtype=dtype)
+    u2 = jnp.asarray(rng.random(n), dtype=dtype)
+    lam_max, lam_min = run(operand, u1, u2)
     # mild safety margins (the reference shifts its estimates similarly)
-    return make_cheby_coeffs(alpha=0.95 * lam_min, beta=1.05 * lam_max)
+    return make_cheby_coeffs(
+        alpha=0.95 * float(lam_min), beta=1.05 * float(lam_max)
+    )
 
 
 def estimate_eigs_lanczos(

@@ -319,10 +319,13 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         else:
             ext = build_extended_system(hh, params, explicit=explicit)
         A0 = hier.levels[0].A
+        # operand form: the sharded extended system is passed as a jit
+        # argument (required on multi-process meshes)
         coeffs = estimate_cycle_eigs(
-            lambda u: ext.inv_wdiag * ext_matvec(ext, A0, u),
+            lambda op, u: op[0].inv_wdiag * ext_matvec(op[0], op[1], u),
             ext.offsets[-1], dtype,
             num_iters=opts.cheby_power_iters, range_start=True,
+            operand=(ext, A0),
         )
         res = ext_solve(
             hier, ext, b, x0, tol=opts.tol, max_cycles=opts.num_cycles,

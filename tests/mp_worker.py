@@ -80,12 +80,35 @@ def main():
         jnp.asarray(b_np), tol=1e-8, max_cycles=300,
     )
 
+    # 3) grid-mapped extended system: level blocks sharded onto device
+    #    groups spanning both processes
+    from amg_tpu.solve.accel import estimate_cycle_eigs
+    from amg_tpu.solve.extended import (
+        build_sharded_extended_system,
+        ext_matvec,
+        ext_solve,
+    )
+
+    ext = build_sharded_extended_system(hh, params, mesh)
+    A0 = hier_rep.levels[0].A
+    coeffs = estimate_cycle_eigs(
+        lambda op, u: op[0].inv_wdiag * ext_matvec(op[0], op[1], u),
+        ext.offsets[-1], jnp.asarray(b_np).dtype, range_start=True,
+        operand=(ext, A0),
+    )
+    eres = ext_solve(
+        hier_rep, ext, jnp.asarray(b_np), tol=1e-8, max_cycles=300,
+        cheby_coeffs=coeffs,
+    )
+
     print("RESULT " + json.dumps({
         "pid": pid,
         "mult_iters": int(res.iters),
         "mult_rel": float(res.rel_resnorm),
         "grid_iters": int(gres.iters),
         "grid_rel": float(gres.rel_resnorm),
+        "ext_iters": int(eres.iters),
+        "ext_rel": float(eres.rel_resnorm),
     }), flush=True)
 
 

@@ -63,3 +63,6 @@ def test_two_process_solves():
     assert r0["mult_iters"] == r1["mult_iters"] <= 25
     assert r0["grid_rel"] <= 1e-8 and r1["grid_rel"] <= 1e-8
     assert r0["grid_iters"] == r1["grid_iters"]
+    # grid-mapped extended system across the process boundary
+    assert r0["ext_rel"] <= 1e-8 and r1["ext_rel"] <= 1e-8
+    assert r0["ext_iters"] == r1["ext_iters"]
