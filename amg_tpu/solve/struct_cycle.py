@@ -121,7 +121,15 @@ def struct_solve(
 def _presweep_norm(spec, cfg, x_pad, b_pad):
     """Pre-sweeps with the FIRST sweep fused to the incoming iterate's
     residual-norm partials (mode sweep_vec_norm) — the convergence monitor
-    comes free with the sweep, no dedicated residual pass."""
+    comes free with the sweep, no dedicated residual pass.
+
+    With num_pre_sweeps == 0 there is no sweep to fuse into: the norm comes
+    from a plain residual pass and the iterate is returned untouched (the
+    mult_vcycle equivalence must hold for every sweep count)."""
+    if cfg.num_pre_sweeps == 0:
+        r_pad = _fine(spec, "residual", x_pad, b_pad)
+        r = from_padded(r_pad, spec.grid_shape)
+        return x_pad, jnp.sqrt(jnp.sum(r * r))
     y_pad, parts = stencil_kernel_padded(
         x_pad, b_pad, spec.weights, spec.grid_shape, spec.offsets,
         alpha=0.0, scale_pad=spec.scale_pad, mode="sweep_vec_norm",

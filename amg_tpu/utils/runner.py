@@ -181,6 +181,15 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
 
             hier = device_hierarchy(hh, params)
             grid_mesh, mesh = mesh, None
+        elif opts.solver in EXT_SOLVERS:
+            # -no_grid_parallel: the extended system's only supported
+            # distribution is level-block (grid) sharding — a row-sharded
+            # fine hierarchy would pad b to the mesh while the ext operator
+            # keeps the true n0. Run the ext solve replicated instead.
+            from amg_tpu.setup.hierarchy import device_hierarchy
+
+            hier = device_hierarchy(hh, params)
+            mesh = None
         elif opts.is_async() and opts.grid_parallel:
             # level ("grid") parallelism: devices own level groups, operators
             # replicated (reference: AssignProcs) — build the plain device
@@ -360,7 +369,10 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             omega=omega,
             comm_every=max(opts.async_comm_save_divisor, 1),
         )
-        if opts.num_devices > 1 and opts.grid_parallel:
+        if grid_mesh is not None:
+            # level→device-group parallelism (only built on the unstructured
+            # path above; the structured multi-device path row-shards and
+            # must use the data-parallel async solve below)
             from amg_tpu.parallel.grid import (
                 grid_parallel_solve,
                 plan_grid_levels,

@@ -94,3 +94,20 @@ def test_anorm_error_zero_rhs():
     # rhs != zeros → metric absent
     st = _run(problem="5pt", n=16, solver="mult")
     assert st.e_anorm_rel is None
+
+
+def test_structured_async_multidevice_dispatch():
+    """Structured hierarchy + async solver + num_devices>1 must route to the
+    data-parallel async solve (regression: the dispatch gated on
+    opts.grid_parallel and passed grid_mesh=None into grid_parallel_solve)."""
+    st = _run(problem="27pt", n=8, hierarchy="structured",
+              solver="async_multadd", num_devices=8, num_cycles=5, tol=1e-30)
+    assert st.cycles == 5  # ran, no crash
+
+
+def test_ext_no_grid_parallel_nondividing_n():
+    """EXT solver with -no_grid_parallel and a row count that doesn't divide
+    the mesh runs replicated (regression: padded b vs unpadded AA crash)."""
+    st = _run(problem="5pt", n=19, solver="eebpx", num_devices=8,
+              grid_parallel=False, num_cycles=120)
+    assert st.rel_resnorm <= 1e-8

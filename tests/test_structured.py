@@ -214,6 +214,31 @@ class TestFusedStructCycle:
             np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-13
         )
 
+    def test_matches_reference_cycle_zero_presweeps(self):
+        """num_pre_sweeps=0: the pipelined norm must come from a plain
+        residual pass, NOT a smuggled-in extra sweep (regression: the fused
+        sweep_vec_norm was applied unconditionally)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.solve.struct_cycle import struct_solve
+
+        prob = laplacian_3d_27pt(12)
+        hh, hier = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI
+        )
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI,
+            num_pre_sweeps=0, num_post_sweeps=2,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            res_f = struct_solve(hier, cfg, b, tol=1e-8, max_cycles=40)
+        res_r = solve(hier, cfg, b, tol=1e-8, max_cycles=40)
+        assert res_f.num_iters() == res_r.num_iters()
+        np.testing.assert_allclose(
+            np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-13
+        )
+
 
 def test_runner_structured_distributed():
     """Structured (geometric) hierarchy sharded over the mesh through the
