@@ -76,12 +76,17 @@ class HaloELL:
     axis: str
     offsets: Tuple[int, ...]
     perms: Tuple[Tuple[Tuple[int, int], ...], ...]
+    # per-device counts from the setup pattern (static): elements each device
+    # puts on the wire per matvec (padded segments, only for pairs it is
+    # actually a source of) and the true boundary payload before padding
+    wire_send: Tuple[int, ...] = ()
+    payload_send: Tuple[int, ...] = ()
 
     def tree_flatten(self):
         return (
             (self.cols, self.vals, self.send_idx, self.ghost_map),
             (self.shape, self.n_loc, self.n_loc_c, self.axis,
-             self.offsets, self.perms),
+             self.offsets, self.perms, self.wire_send, self.payload_send),
         )
 
     @classmethod
@@ -107,11 +112,32 @@ class HaloELL:
         return halo_spmv(self, x)
 
     def comm_bytes_per_matvec(self) -> int:
-        """Boundary bytes shipped per device per matvec (the metric the
-        reference reports as message volume, DMEM_PrintOutput)."""
-        nbuf = self.send_idx.shape[1]
-        S = self.send_idx.shape[2]
-        return nbuf * S * self.vals.dtype.itemsize
+        """Mean wire bytes shipped per device per matvec: padded segments,
+        counted only for (source, dest) pairs the pattern actually ships
+        (the metric the reference reports as message volume,
+        DMEM_PrintOutput). See comm_payload_bytes_per_matvec for the
+        unpadded boundary payload."""
+        return int(round(_mean_bytes(
+            self.wire_send, self.send_idx, self.vals.dtype.itemsize
+        )))
+
+    def comm_payload_bytes_per_matvec(self) -> int:
+        """Mean true boundary bytes per device per matvec (no segment
+        padding) — the lower bound the wire volume is compared against."""
+        if not self.payload_send:
+            return self.comm_bytes_per_matvec()
+        D = len(self.payload_send)
+        return int(round(
+            sum(self.payload_send) * self.vals.dtype.itemsize / D
+        ))
+
+
+def _mean_bytes(wire_send, send_idx, itemsize):
+    """Mean per-device wire bytes; falls back to the padded upper bound for
+    operators built before pattern accounting (empty wire_send)."""
+    if wire_send:
+        return sum(wire_send) * itemsize / len(wire_send)
+    return send_idx.shape[1] * send_idx.shape[2] * itemsize
 
 
 def _exchange(a, x_loc):
@@ -216,6 +242,19 @@ def _build_exchange_pattern(ghost_lists, n_loc_c, D, max_ppermute_offsets):
     offs = tuple(sorted(off_of))
     use_ppermute = 0 < len(offs) <= max_ppermute_offsets
     S = max(int(seg_counts.max()), 1)
+    # exact accounting: elements each device puts on the wire (padded
+    # segments, only for pairs it actually sources — the ppermute moves
+    # data only along listed pairs; all_to_all ships every off-device
+    # segment) and the true unpadded boundary payload
+    payload_send = tuple(int(c) for c in seg_counts.sum(axis=1))
+    if use_ppermute:
+        wire = np.zeros(D, np.int64)
+        for prs in off_of.values():
+            for p, _ in prs:
+                wire[p] += S
+        wire_send = tuple(int(w) for w in wire)
+    else:
+        wire_send = tuple(S * (D - 1) for _ in range(D))
     if use_ppermute:
         m = len(offs)
         send_idx = np.zeros((D, m, S), np.int32)
@@ -253,7 +292,7 @@ def _build_exchange_pattern(ghost_lists, n_loc_c, D, max_ppermute_offsets):
                 msk = owner == p
                 pos[msk] = np.arange(msk.sum())
             ghost_map[d, : g.size] = (owner * S + pos).astype(np.int32)
-    return send_idx, ghost_map, offs, perms, S, G
+    return send_idx, ghost_map, offs, perms, S, G, wire_send, payload_send
 
 
 def build_halo_ell(csr, mesh: Mesh, dtype=None, max_ppermute_offsets=None):
@@ -288,8 +327,8 @@ def build_halo_ell(csr, mesh: Mesh, dtype=None, max_ppermute_offsets=None):
         ghost_lists.append(np.unique(cols_d[~own]))
         per_dev.append((lo, hi, cols_d, own))
 
-    send_idx, ghost_map, offs, perms, S, G = _build_exchange_pattern(
-        ghost_lists, n_loc_c, D, max_ppermute_offsets
+    send_idx, ghost_map, offs, perms, S, G, wire_send, payload_send = (
+        _build_exchange_pattern(ghost_lists, n_loc_c, D, max_ppermute_offsets)
     )
 
     cols_arr = np.zeros((D, n_loc, k), np.int64)
@@ -328,6 +367,8 @@ def build_halo_ell(csr, mesh: Mesh, dtype=None, max_ppermute_offsets=None):
         axis=ax,
         offsets=offs,
         perms=perms,
+        wire_send=wire_send,
+        payload_send=payload_send,
     )
 
 
@@ -470,7 +511,7 @@ def build_halo_bsr(
         v_d = valid[d * nrb_loc : (d + 1) * nrb_loc]
         ext = bc_d[v_d & ((bc_d < d * ncb_loc) | (bc_d >= (d + 1) * ncb_loc))]
         ghost_lists.append(np.unique(ext))
-    send_idx, ghost_map, offs, perms, S, G = _build_exchange_pattern(
+    send_idx, ghost_map, offs, perms, S, G, _, _ = _build_exchange_pattern(
         ghost_lists, ncb_loc, D, max_ppermute_offsets
     )
     bc_remap = np.zeros((D, nrb_loc, kb), np.int64)

@@ -61,12 +61,15 @@ class AsyncConfig:
     # src/DMEM_Misc.cpp:612-666). omega = 2/(alpha+beta) from eig bounds of
     # the synchronous additive operator, damped for staleness (see runner).
     omega: float = 1.0
-    # message coalescing (grid-parallel solver only): corrections are
-    # exchanged (psum'd) every comm_every supersteps; between exchanges each
-    # device accumulates its corrections locally and sees them in its OWN
-    # reads immediately — the reference's -async_comm_save_divisor + the
-    # in-flight pool's accumulate-into-pending-buffer coalescing
-    # (reference: src/DMEM_Add.cpp:375-383, src/DMEM_Comm.cpp:25-79)
+    # message coalescing: corrections are published to the SHARED state only
+    # every comm_every supersteps; between publishes each level group
+    # accumulates its corrections in a private pending buffer and sees them
+    # in its OWN reads immediately — the reference's
+    # -async_comm_save_divisor + the in-flight pool's
+    # accumulate-into-pending-buffer coalescing (reference:
+    # src/DMEM_Add.cpp:375-383, src/DMEM_Comm.cpp:25-79). In the
+    # grid-parallel solver the publish is the cross-group psum; in the
+    # single-program async solve it is the add into the shared x/snapshot.
     comm_every: int = 1
     # fault injection: levels in delay_levels fire with delay_prob instead
     delay_levels: Tuple[int, ...] = ()
@@ -176,9 +179,11 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
             stale = ring[col % W]
         return stale, col
 
+    E = max(int(acfg.comm_every), 1)
+
     def body(state):
-        (x, ring, lr, gw, apply_marks, gcorrect, r_state, k, relnorm, hist,
-         key) = state
+        (x, ring, lr, gw, apply_marks, gcorrect, r_state, pending, k,
+         relnorm, hist, key) = state
         key, kf, kp, *kreads = jax.random.split(key, 3 + L)
         fire = jax.random.uniform(kf, (L,), dtype) < probs
         # transient failure window
@@ -198,9 +203,17 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
                 jnp.where(fire[lvl], col, lr[lvl]).astype(jnp.int32)
             )
             if acfg.read_type == "sol":
-                r_stale = b - A0 @ stale
+                if E > 1:
+                    # coalescing: a group sees its OWN unpublished pending
+                    # corrections immediately (the reference's local
+                    # y += U[0] before any send, src/DMEM_Add.cpp:391-458)
+                    r_stale = b - A0 @ (stale + pending[lvl])
+                else:
+                    r_stale = b - A0 @ stale
             else:
                 r_stale = stale
+                if E > 1:
+                    r_stale = r_stale - A0 @ pending[lvl]
             c = additive_correction(hier, cfg, r_stale, lvl)
             corrections = corrections.at[lvl].set(
                 jnp.where(fire[lvl], c, jnp.zeros_like(c))
@@ -209,7 +222,18 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         # apply in random order (order only affects grid-wait accounting —
         # the sum itself commutes); reference shuffles level_perm
         perm = jax.random.permutation(kp, L)
-        x = x + acfg.omega * jnp.sum(corrections, axis=0)
+        if E > 1:
+            # accumulate into per-level pending buffers; publish into the
+            # shared state every Eth superstep (message coalescing,
+            # reference -async_comm_save_divisor: src/DMEM_Add.cpp:375-383)
+            pending = pending + acfg.omega * corrections
+            publish = ((k + 1) % E) == 0
+            total_c = jnp.where(publish, jnp.sum(pending, axis=0), 0.0)
+            x = x + total_c
+            pending = jnp.where(publish, jnp.zeros_like(pending), pending)
+        else:
+            total_c = acfg.omega * jnp.sum(corrections, axis=0)
+            x = x + total_c
 
         # grid-wait statistics, evaluated in apply order: how many global
         # corrections landed between this level's consecutive applies —
@@ -233,7 +257,6 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
             gw_body, (gcorrect, apply_marks, gw), perm
         )
 
-        total_c = acfg.omega * jnp.sum(corrections, axis=0)
         if acfg.res_mode == "update":
             # incremental residual maintenance (no b - A x recompute)
             r_maint = r_state - A0 @ total_c
@@ -247,20 +270,20 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         hist = hist.at[k + 1].set(relnorm)
         ring = ring.at[(k + 1) % W].set(snap)
         return (
-            x, ring, new_lr, gw, apply_marks, gcorrect, r_maint, k + 1,
-            relnorm, hist, key,
+            x, ring, new_lr, gw, apply_marks, gcorrect, r_maint, pending,
+            k + 1, relnorm, hist, key,
         )
 
     def cond(state):
-        _, _, _, _, _, _, _, k, relnorm, _, _ = state
+        k, relnorm = state[8], state[9]
         return (k < max_cycles) & (relnorm > tol)
 
     state = (
         x0, hist_ring, last_read, gw0, jnp.zeros(L, jnp.int32),
-        global_correct0, r0, jnp.asarray(0, jnp.int32),
-        jnp.asarray(jnp.inf, dtype), hist0, key,
+        global_correct0, r0, jnp.zeros((L, n), dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype), hist0, key,
     )
-    x, _, _, gw, _, _, _, it, relnorm, hist, _ = jax.lax.while_loop(
+    x, _, _, gw, _, _, _, _, it, relnorm, hist, _ = jax.lax.while_loop(
         cond, body, state
     )
     return AsyncResult(

@@ -187,11 +187,97 @@ def profile_mult_cycle(
     return rep
 
 
+def _additive_level_plan(hier, cfg, k):
+    """Segmented step plan for level k's additive correction — the EXACT
+    per-kernel decomposition of solve.cycles.additive_correction (same
+    branches, same operators), so the instrumented run times the production
+    algorithm. Each step is (phase, attribution_level, jitted_fn, in_keys,
+    out_key); the final step writes key 'c' (the level-0 correction)."""
+    L = hier.num_levels
+    cyc = cfg.cycle
+    if cyc == CycleType.AFACJ and k == 0:
+        return [("smooth", 0, jax.jit(
+            lambda r: _add_level_smooth(hier, cfg, 0, r)), ("r",), "c")]
+    if cyc == CycleType.AFACJ:
+        lvm = hier.levels[k - 1]
+        steps = [
+            ("restrict", k, jax.jit(
+                lambda r: _restrict_chain(hier, cfg, r, k - 1)), ("r",),
+             "rkm"),
+            ("restrict", k, jax.jit(lambda rkm: lvm.R @ rkm), ("rkm",), "rk"),
+        ]
+        if k == L - 1:
+            steps.append(("coarse", k, jax.jit(
+                lambda rk: coarse_solve(hier, rk)), ("rk",), "e"))
+        else:
+            lv = hier.levels[k]
+            steps.append(("smooth", k, jax.jit(
+                lambda rk: smooth(
+                    lv.A, lv.sm, cfg.smoother, jnp.zeros_like(rk), rk,
+                    num_sweeps=cfg.num_coarse_sweeps, zero_guess=True,
+                )), ("rk",), "e"))
+        steps += [
+            ("prolong", k, jax.jit(lambda e: lvm.P @ e), ("e",), "ck"),
+            ("prolong", k, jax.jit(
+                lambda ck: _prolong_chain(hier, cfg, ck, k - 1)), ("ck",),
+             "c"),
+        ]
+        return steps
+    if cyc in (CycleType.MULTADD, CycleType.BPX) or k == L - 1:
+        steps = [("restrict", k, jax.jit(
+            lambda r: _restrict_chain(hier, cfg, r, k)), ("r",), "rk")]
+        if k == L - 1:
+            steps.append(("coarse", k, jax.jit(
+                lambda rk: coarse_solve(hier, rk)), ("rk",), "e"))
+        elif cyc == CycleType.BPX:
+            steps.append(("smooth", k, jax.jit(
+                lambda rk: hier.levels[k].sm.inv_wscale * rk), ("rk",), "e"))
+        else:
+            steps.append(("smooth", k, jax.jit(
+                lambda rk: _add_level_smooth(hier, cfg, k, rk)), ("rk",),
+                "e"))
+        steps.append(("prolong", k, jax.jit(
+            lambda e: _prolong_chain(hier, cfg, e, k)), ("e",), "c"))
+        return steps
+    # AFACX, k < L-1: coarse smooth at k+1, prolong, re-residualize at k,
+    # fine smooth, prolong chain (src/SMEM_Sync_AMG.cpp:296-406)
+    lv = hier.levels[k]
+    lvc = hier.levels[k + 1]
+    steps = [
+        ("restrict", k, jax.jit(
+            lambda r: _restrict_chain(hier, cfg, r, k)), ("r",), "rk"),
+        ("restrict", k, jax.jit(lambda rk: lv.R @ rk), ("rk",), "rk1"),
+    ]
+    if k + 1 == L - 1:
+        steps.append(("coarse", k + 1, jax.jit(
+            lambda rk1: coarse_solve(hier, rk1)), ("rk1",), "uc"))
+    else:
+        steps.append(("smooth", k + 1, jax.jit(
+            lambda rk1: smooth(
+                lvc.A, lvc.sm, cfg.smoother, jnp.zeros_like(rk1), rk1,
+                num_sweeps=cfg.num_coarse_sweeps, zero_guess=True,
+            )), ("rk1",), "uc"))
+    steps += [
+        ("prolong", k, jax.jit(lambda uc: lv.P @ uc), ("uc",), "e"),
+        ("residual", k, jax.jit(lambda rk, e: rk - lv.A @ e), ("rk", "e"),
+         "rf"),
+        ("smooth", k, jax.jit(
+            lambda rf: smooth(
+                lv.A, lv.sm, cfg.smoother, jnp.zeros_like(rf), rf,
+                num_sweeps=cfg.num_fine_sweeps, zero_guess=True,
+            )), ("rf",), "uf"),
+        ("prolong", k, jax.jit(
+            lambda uf: _prolong_chain(hier, cfg, uf, k)), ("uf",), "c"),
+    ]
+    return steps
+
+
 def profile_additive_cycle(
     hier, cfg: CycleConfig, b, x0=None, num_cycles: int = 5
 ) -> PhaseReport:
-    """Segmented additive cycle (multadd/afacx/bpx): restrict chains, level
-    smooth, prolong chains, each timed per level."""
+    """Segmented additive cycle (multadd/afacx/afacj/bpx): every kernel of
+    additive_correction timed individually, attributed to the reference's
+    phase taxonomy (restrict/smooth/residual/prolong/coarse)."""
     L = hier.num_levels
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -203,40 +289,31 @@ def profile_additive_cycle(
     )
     A0 = hier.levels[0].A
     resid0 = jax.jit(lambda u, f: f - A0 @ u)
-    rchain, smoo, pchain = [], [], []
-    for k in range(L):
-        rchain.append(jax.jit(
-            lambda r, k=k: _restrict_chain(hier, cfg, r, k)
-        ))
-        if k == L - 1:
-            smoo.append(jax.jit(lambda r: coarse_solve(hier, r)))
-        elif cfg.cycle == CycleType.BPX:
-            smoo.append(jax.jit(
-                lambda r, k=k: hier.levels[k].sm.inv_wscale * r
-            ))
-        else:
-            smoo.append(jax.jit(
-                lambda r, k=k: _add_level_smooth(hier, cfg, k, r)
-            ))
-        pchain.append(jax.jit(
-            lambda e, k=k: _prolong_chain(hier, cfg, e, k)
-        ))
+    plans = [_additive_level_plan(hier, cfg, k) for k in range(L)]
 
+    # shape inference (drives comm accounting + warmup inputs)
+    shapes = []  # per level: {key: shape}
+    rspec = jax.ShapeDtypeStruct(b.shape, b.dtype)
     for k in range(L):
-        nk = hier.levels[k].A.shape[1]
-        by, ms = _comm_stats_of(rchain[k], jnp.zeros(b.shape[0], b.dtype))
-        b2, m2 = _comm_stats_of(smoo[k], jnp.zeros(nk, b.dtype))
-        b3, m3 = _comm_stats_of(pchain[k], jnp.zeros(nk, b.dtype))
-        rep.comm_bytes[k] = by + b2 + b3
-        rep.comm_msgs[k] = ms + m2 + m3
+        env = {"r": rspec}
+        for phase, lvl, fn, in_keys, out_key in plans[k]:
+            env[out_key] = jax.eval_shape(fn, *(env[ik] for ik in in_keys))
+        shapes.append(env)
 
-    # warmup
+    def zeros_of(spec):
+        return jnp.zeros(spec.shape, spec.dtype)
+
+    # exact comm accounting per level + warmup compile
     _timed(resid0, x0, b)
     for k in range(L):
-        nk = hier.levels[k].A.shape[1]
-        _timed(rchain[k], jnp.zeros(b.shape[0], b.dtype))
-        _timed(smoo[k], jnp.zeros(nk, b.dtype))
-        _timed(pchain[k], jnp.zeros(nk, b.dtype))
+        by = ms = 0
+        for phase, lvl, fn, in_keys, out_key in plans[k]:
+            args = tuple(zeros_of(shapes[k][ik]) for ik in in_keys)
+            b_, m_ = _comm_stats_of(fn, *args)
+            by += b_
+            ms += m_
+            _timed(fn, *args)
+        rep.comm_bytes[k], rep.comm_msgs[k] = by, ms
 
     x = x0
     for _ in range(num_cycles):
@@ -245,18 +322,16 @@ def profile_additive_cycle(
         rep.residual[0] += time.perf_counter() - t0
         c = jnp.zeros_like(x)
         for k in range(L):
-            t0 = time.perf_counter()
-            rk = _timed(rchain[k], r)
-            rep.restrict[k] += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            e = _timed(smoo[k], rk)
-            if k == L - 1:
-                rep.coarse += time.perf_counter() - t0
-            else:
-                rep.smooth[k] += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            c = c + _timed(pchain[k], e)
-            rep.prolong[k] += time.perf_counter() - t0
+            env = {"r": r}
+            for phase, lvl, fn, in_keys, out_key in plans[k]:
+                t0 = time.perf_counter()
+                env[out_key] = _timed(fn, *(env[ik] for ik in in_keys))
+                dt = time.perf_counter() - t0
+                if phase == "coarse":
+                    rep.coarse += dt
+                else:
+                    getattr(rep, phase)[lvl] += dt
+            c = c + env["c"]
         x = x + c
     rep._x = x
     return rep

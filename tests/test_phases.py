@@ -29,7 +29,8 @@ def setup24():
 
 
 @pytest.mark.parametrize("cyc", [CycleType.MULT, CycleType.MULTADD,
-                                 CycleType.BPX])
+                                 CycleType.BPX, CycleType.AFACX,
+                                 CycleType.AFACJ])
 def test_segmented_equals_production(setup24, cyc):
     prob, hh, hier, b = setup24
     cfg = CycleConfig(

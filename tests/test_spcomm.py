@@ -91,7 +91,14 @@ class TestHaloSpmv:
         assert h.offsets == (1, 7), h.offsets
         _, m, S = h.send_idx.shape
         assert (m, S) == (2, 16 * 16), (m, S)
-        assert h.comm_bytes_per_matvec() == 2 * S * 8
+        # exact wire accounting: 7 source pairs per offset class (the slab
+        # chain is non-periodic: device 0 sends only up, device 7 only
+        # down) -> mean 14*S/8 elements/device/matvec
+        assert h.wire_send == (S, 2 * S, 2 * S, 2 * S, 2 * S, 2 * S, 2 * S, S)
+        assert h.comm_bytes_per_matvec() == 14 * S * 8 // 8
+        # every shipped segment is one full 16x16 plane -> zero padding,
+        # payload == wire
+        assert h.comm_payload_bytes_per_matvec() == h.comm_bytes_per_matvec()
         # far below the all-gather volume (n doubles)
         assert h.comm_bytes_per_matvec() < prob.n * 8 / 4
 
