@@ -143,6 +143,62 @@ def estimate_cycle_eigs(
     )
 
 
+def estimate_eigs_lobpcg(
+    apply_op, n: int, dtype, num_iters: int = 12, block: int = 4,
+    seed: int = 0, range_start: bool = False,
+) -> ChebyCoeffs:
+    """Eigenvalue bounds via block LOBPCG (the native equivalent of the
+    reference's -cheby_eig hypre_lobpcg path, src/SMEM_Cheby.cpp:255-408,
+    which injects the MG-preconditioned matvec into hypre's LOBPCG):
+    Rayleigh-Ritz over the locally-optimal subspace span[X, R, P] with the
+    Ritz block tracking BOTH ends of the spectrum, so one run yields
+    (lambda_min, lambda_max).
+
+    range_start=True starts (and keeps, by symmetry) the block inside
+    range(op) so a semidefinite operator's zero eigenvalue is excluded and
+    the lower bound is the smallest NONZERO eigenvalue — same contract as
+    estimate_cycle_eigs(range_start=True)."""
+    rng = np.random.default_rng(seed)
+    b = max(2, min(block, n // 2))
+    apply_j = jax.jit(apply_op)
+    try:
+        applym = jax.jit(jax.vmap(apply_op, in_axes=1, out_axes=1))
+        applym(jnp.zeros((n, 1), dtype)).block_until_ready()
+    except Exception:  # operator not vmappable: apply column-wise
+        def applym(Xm):
+            return jnp.stack(
+                [apply_j(Xm[:, i]) for i in range(Xm.shape[1])], axis=1
+            )
+
+    X = jnp.asarray(rng.standard_normal((n, b)), dtype=dtype)
+    if range_start:
+        X = applym(X)
+    X, _ = jnp.linalg.qr(X)
+    P = None
+    lam_lo, lam_hi = 1.0, 1.0
+    lo_sel = b // 2  # Ritz vectors kept at the low end; rest at the high end
+    for _ in range(num_iters):
+        AX = applym(X)
+        T = X.T @ AX
+        T = (T + T.T) / 2
+        R = AX - X @ T  # block residual of the current Ritz approximation
+        S = jnp.concatenate([X, R] + ([P] if P is not None else []), axis=1)
+        Q, _ = jnp.linalg.qr(S)
+        AQ = applym(Q)
+        Tq = Q.T @ AQ
+        Tq = (Tq + Tq.T) / 2
+        evals, W = jnp.linalg.eigh(Tq)
+        lam_lo, lam_hi = float(evals[0]), float(evals[-1])
+        m = Tq.shape[0]
+        sel = jnp.asarray(
+            list(range(lo_sel)) + list(range(m - (b - lo_sel), m))
+        )
+        P = X  # previous iterate block = the locally-optimal direction
+        X = Q @ W[:, sel]
+    lam_lo = max(lam_lo, 1e-12)
+    return make_cheby_coeffs(alpha=0.95 * lam_lo, beta=1.05 * lam_hi)
+
+
 def estimate_eigs_lanczos(
     apply_op, n: int, dtype, num_iters: int = 30, seed: int = 0,
     range_start: bool = False,

@@ -118,11 +118,25 @@ def solve(
 
 
 def cheby_setup(
-    hier, cfg: CycleConfig, num_iters: int = 20, seed: int = 0
+    hier, cfg: CycleConfig, num_iters: int = 20, seed: int = 0,
+    method: str = "power",
 ) -> ChebyCoeffs:
-    """Estimate eigenvalue bounds of the cycle-preconditioned operator
-    (reference: ChebySetup → DMEM_PowerMult, src/DMEM_Eig.cpp:10-104)."""
-    from amg_tpu.solve.accel import estimate_cycle_eigs
+    """Estimate eigenvalue bounds of the cycle-preconditioned operator.
+
+    method selects the estimator (the reference's -cheby_eig menu,
+    src/SMEM_Main.cpp:606-618 → CHEBY_EIG_POWER/HYPRE_LOBPCG/SLEPC):
+      power   — power + shifted power (reference ChebySetup →
+                DMEM_PowerMult, src/DMEM_Eig.cpp:10-104)
+      lobpcg  — block LOBPCG Rayleigh-Ritz (reference hypre_lobpcg,
+                src/SMEM_Cheby.cpp:255-408)
+      lanczos — Lanczos extreme Ritz values (the Krylov analog of the
+                reference's SLEPc Arnoldi path, src/SMEM_Cheby.cpp:62-200)
+    """
+    from amg_tpu.solve.accel import (
+        estimate_cycle_eigs,
+        estimate_eigs_lanczos,
+        estimate_eigs_lobpcg,
+    )
 
     A0 = hier.levels[0].A
     n = A0.shape[0]
@@ -132,4 +146,15 @@ def cheby_setup(
         f = A0 @ u
         return cycle_step(hier, cfg, jnp.zeros_like(f), f)
 
+    if method == "lobpcg":
+        return estimate_eigs_lobpcg(
+            apply_MinvA, n, dtype, num_iters=max(num_iters // 2, 6),
+            seed=seed,
+        )
+    if method == "lanczos":
+        return estimate_eigs_lanczos(
+            apply_MinvA, n, dtype, num_iters=num_iters, seed=seed
+        )
+    if method != "power":
+        raise ValueError(f"unknown cheby_eig method {method!r}")
     return estimate_cycle_eigs(apply_MinvA, n, dtype, num_iters=num_iters, seed=seed)

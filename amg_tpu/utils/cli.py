@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("-device_format", default=d.device_format,
       choices=("ell", "bsr", "auto"))
     a("-cheby_power_iters", type=int, default=d.cheby_power_iters)
+    # reference spelling kept: hypre_lobpcg/slepc map onto the native
+    # estimators (src/SMEM_Main.cpp:606-618)
+    a("-cheby_eig", default=d.cheby_eig,
+      choices=("power", "lobpcg", "lanczos", "hypre_lobpcg", "slepc"))
     a("-async_type", default=d.async_type, choices=("full", "semi"))
     a("-read_type", default=d.read_type, choices=("sol", "res"))
     a("-sim_read_delay", type=int, default=d.sim_read_delay)

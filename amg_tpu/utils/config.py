@@ -94,6 +94,10 @@ class SolverOptions:
     accel: str = "none"  # none | cheby | richardson
     outer_solver: str = "none"  # none | pcg | ams_pcg
     cheby_power_iters: int = 20
+    # eig-bound estimator (reference -cheby_eig {power, hypre_lobpcg, slepc},
+    # src/SMEM_Main.cpp:606-618); "lanczos" is the Krylov analog of the
+    # reference's SLEPc Arnoldi path
+    cheby_eig: str = "power"  # power | lobpcg | lanczos
 
     # async execution (reference: -sim_read_delay, -sim_grid_wait, async/semi)
     async_type: str = "full"  # full | semi
@@ -159,6 +163,10 @@ class SolverOptions:
             "async_iebpx": "async_implicit_ext_bpx",
         }
         self.solver = aliases.get(self.solver, self.solver)
+        # reference -cheby_eig spellings → native estimators
+        self.cheby_eig = {
+            "hypre_lobpcg": "lobpcg", "slepc": "lanczos"
+        }.get(self.cheby_eig, self.cheby_eig)
         if self.solver == "par_bpx":
             # the reference's PAR_BPX = BPX flattened over the concatenated
             # multilevel vector (src/SMEM_Sync_AMG.cpp:147-294) — here that

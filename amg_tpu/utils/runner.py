@@ -354,7 +354,8 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             # stale per-row reads raise the effective operator norm, so the
             # weight must back off, exactly as the reference damps its async
             # grids' corrections by omega*delta (src/DMEM_Misc.cpp:612-666)
-            coeffs = cheby_setup(hier, cfg, num_iters=opts.cheby_power_iters)
+            coeffs = cheby_setup(hier, cfg, num_iters=opts.cheby_power_iters,
+                                 method=opts.cheby_eig)
             omega = 0.5 * 2.0 / (coeffs.alpha + coeffs.beta)
         acfg = AsyncConfig(
             read_type=opts.read_type,
@@ -437,7 +438,8 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         coeffs = None
         accel = None if opts.accel == "none" else opts.accel
         if accel:
-            coeffs = cheby_setup(hier, cfg, num_iters=opts.cheby_power_iters)
+            coeffs = cheby_setup(hier, cfg, num_iters=opts.cheby_power_iters,
+                                 method=opts.cheby_eig)
         res = solve(
             hier, cfg, b, x0, tol=opts.tol, max_cycles=opts.num_cycles,
             accel=accel, cheby_coeffs=coeffs,

@@ -143,3 +143,62 @@ class TestLanczos:
         assert lz.alpha <= exact.min() * 1.2 + 1e-6
         pw = estimate_cycle_eigs(op, prob.n, jnp.float64, num_iters=40)
         assert abs(lz.beta - pw.beta) / pw.beta < 0.1
+
+
+class TestLOBPCG:
+    def test_lobpcg_bounds_vs_dense(self):
+        """Block LOBPCG (reference -cheby_eig hypre_lobpcg,
+        src/SMEM_Cheby.cpp:255-408) brackets the dense spectrum of the
+        Jacobi-preconditioned operator from one run."""
+        import jax.numpy as jnp
+
+        from amg_tpu.solve.accel import estimate_eigs_lobpcg
+
+        prob = laplacian_2d_5pt(16)
+        params = HierarchyParams(smoother=SmootherType.JACOBI)
+        hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+        A = prob.A.to_dense()
+        d = prob.A.diagonal()
+        op = lambda u: jnp.asarray(1.0 / d) * (hier.levels[0].A @ u)
+        exact = np.linalg.eigvals(np.diag(1.0 / d) @ A).real
+        lb = estimate_eigs_lobpcg(op, prob.n, jnp.float64, num_iters=15)
+        # bounds bracket the spectrum (with the built-in 0.95/1.05 margins)
+        assert lb.beta >= exact.max() * 0.99
+        assert lb.alpha <= exact.min() * 1.05 + 1e-6
+        assert lb.alpha > 0
+        # the Ritz extremes are SHARP at this subspace size, not just bounds
+        assert lb.beta <= exact.max() * 1.10
+        assert lb.alpha >= exact.min() * 0.80
+
+    def test_cheby_eig_method_selector(self):
+        """cheby_setup's method menu: all three estimators produce coeffs
+        that accelerate the additive solve to tolerance."""
+        from amg_tpu.solve.driver import cheby_setup
+
+        prob = laplacian_2d_5pt(24)
+        params = HierarchyParams(smoother=SmootherType.L1_JACOBI)
+        hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        cfg = CycleConfig(
+            cycle=CycleType.MULTADD, smoother=SmootherType.L1_JACOBI,
+            use_smoothed_transfers=True,
+        )
+        iters = {}
+        for method in ("power", "lobpcg", "lanczos"):
+            coeffs = cheby_setup(hier, cfg, num_iters=20, method=method)
+            res = solve(hier, cfg, b, tol=1e-8, max_cycles=80,
+                        accel="cheby", cheby_coeffs=coeffs)
+            assert float(res.rel_resnorm) <= 1e-8, method
+            iters[method] = res.num_iters()
+        # similar-quality bounds -> similar accelerated iteration counts
+        assert max(iters.values()) <= min(iters.values()) + 10, iters
+
+    def test_cli_cheby_eig_aliases(self):
+        """Reference spellings hypre_lobpcg/slepc map to the native
+        estimators in the post-parse fixup (src/SMEM_Main.cpp:606-618)."""
+        from amg_tpu.utils.config import SolverOptions
+
+        o = SolverOptions(cheby_eig="hypre_lobpcg").fixup()
+        assert o.cheby_eig == "lobpcg"
+        o = SolverOptions(cheby_eig="slepc").fixup()
+        assert o.cheby_eig == "lanczos"
