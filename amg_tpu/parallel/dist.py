@@ -38,6 +38,15 @@ from amg_tpu.sparse.ell import ELLMatrix
 def make_row_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"jax device(s) are visible (backend "
+                f"{jax.default_backend()!r}); for CPU simulation set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N and run "
+                "via tools/cpurun.py (the axon sitecustomize overrides "
+                "JAX_PLATFORMS=cpu)"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -131,6 +131,12 @@ def grid_parallel_solve(
         assert acfg.read_type == "sol" and acfg.res_mode == "recompute", (
             "message coalescing (comm_every>1) supports READ_SOL/recompute"
         )
+    local_conv = acfg.converge_test_type == "local"
+    if local_conv:
+        assert acfg.res_mode == "recompute", (
+            "local convergence needs each device's own residual view "
+            "(res_mode='recompute')"
+        )
     L = hier.num_levels
     n = b.shape[0]
     dtype = b.dtype
@@ -148,11 +154,10 @@ def grid_parallel_solve(
             r2 = jnp.pad(r * r, (0, n_pad - n)).reshape(D, n_pad // D)
             return jax.lax.dynamic_slice_in_dim(r2, d, 1, 0).sum()
 
-        def fused_norm_flags(r, prev_rel):
+        def fused_norm_flags(r, flag):
             """ONE psum carrying (norm partial, done flag) — the reference's
             InnerProdFlag (src/DMEM_Misc.cpp:414-433): the flag lattice
             rides the residual-norm reduction."""
-            flag = (prev_rel <= tol).astype(dtype)
             stats = jax.lax.psum(
                 jnp.stack([norm_partial(r), flag]), axis
             )
@@ -206,7 +211,7 @@ def grid_parallel_solve(
 
         def body(state):
             (x, ring, lr, gw, marks, gcorr, r_state, c_pend, k, relnorm,
-             nflags, hist, key_s) = state
+             nflags, dflag, hist, key_s) = state
             key_s, kf, kp, *kreads = jax.random.split(key_s, 3 + L)
             fire = jax.random.uniform(kf, (L,), dtype) < probs
             if acfg.fail_level >= 0:
@@ -235,6 +240,11 @@ def grid_parallel_solve(
             c_part = jax.lax.switch(
                 d, branches, (ring, cols_all, fire, c_pend)
             )
+            if local_conv:
+                # LOCAL_CONVERGE (reference CheckConverge else-branch,
+                # src/DMEM_Add.cpp:933-943): a locally-converged group stops
+                # producing corrections while the others continue
+                c_part = jnp.where(dflag > 0.5, 0.0, c_part)
             c_new = c_pend + c_part  # raw (unscaled) pending corrections
             flush = ((k + 1) % acfg.comm_every) == 0
             total_c = acfg.omega * jax.lax.psum(
@@ -267,7 +277,9 @@ def grid_parallel_solve(
 
             if acfg.res_mode == "update":
                 r_maint = r_state - A0 @ total_c
-                normsq, nfl = fused_norm_flags(r_maint, relnorm)
+                normsq, nfl = fused_norm_flags(
+                    r_maint, (relnorm <= tol).astype(dtype)
+                )
                 relnorm = jnp.sqrt(normsq) / safe_r0
                 snap = x if acfg.read_type == "sol" else r_maint
             else:
@@ -277,21 +289,35 @@ def grid_parallel_solve(
                 # mixes local residuals exactly as the reference's
                 # InnerProdFlag over per-rank local residuals
                 r_loc = b_ - A0 @ (x + acfg.omega * c_pend)
-                normsq, nfl = fused_norm_flags(r_loc, relnorm)
+                if local_conv:
+                    # local test: the device's OWN residual view, no psum
+                    lrel = jnp.sqrt(jnp.sum(r_loc * r_loc)) / safe_r0
+                    dflag = jnp.maximum(
+                        dflag, (lrel <= tol).astype(dtype)
+                    )
+                    flag = dflag
+                else:
+                    flag = (relnorm <= tol).astype(dtype)
+                normsq, nfl = fused_norm_flags(r_loc, flag)
                 relnorm = jnp.sqrt(normsq) / safe_r0
                 snap = x if acfg.read_type == "sol" else r_loc
             hist = hist.at[k + 1].set(relnorm)
             ring = ring.at[(k + 1) % W].set(snap)
             return (
                 x, ring, new_lr, gw, marks, gcorr, r_maint, c_pend, k + 1,
-                relnorm, nfl, hist, key_s,
+                relnorm, nfl, dflag, hist, key_s,
             )
 
         def cond(state):
             k, relnorm, nflags = state[8], state[9], state[10]
-            # done-flag lattice: exit once every device's flag (summed in
-            # the SAME psum as the norm) reaches 1; the fresh relnorm check
-            # terminates without the extra flag-propagation step
+            if local_conv:
+                # LOCAL_CONVERGE: the program ends when every group has
+                # frozen itself, regardless of the global norm
+                return (k < max_cycles) & (nflags < D)
+            # GLOBAL_CONVERGE done-flag lattice: exit once every device's
+            # flag (summed in the SAME psum as the norm) reaches 1; the
+            # fresh relnorm check terminates without the extra
+            # flag-propagation step
             return (k < max_cycles) & (relnorm > tol) & (nflags < D)
 
         state = (
@@ -299,9 +325,10 @@ def grid_parallel_solve(
             jnp.zeros((), jnp.int32), r0, jnp.zeros(n, dtype),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
+            jnp.asarray(0.0, dtype),
             hist0, key_,
         )
-        (x, _, _, gw, _, _, _, c_pend, it, relnorm, _, hist,
+        (x, _, _, gw, _, _, _, c_pend, it, relnorm, _, _, hist,
          _) = jax.lax.while_loop(cond, body, state)
         # unflushed pending corrections enter the final answer (the drain
         # loop of the reference's AsyncRecvCleanup, src/DMEM_Add.cpp:827-890)

@@ -45,6 +45,14 @@ class AsyncConfig:
 
     read_type: str = "sol"  # "sol" (recompute r from stale x) | "res"
     res_mode: str = "recompute"  # "recompute" (true r each step) | "update"
+    # async termination scope (reference -converge_test_type, CheckConverge
+    # src/DMEM_Add.cpp:906-944): "global" — the whole program stops when the
+    # global residual norm converges (2-phase done-flag lattice); "local" —
+    # each grid group FREEZES as soon as ITS OWN local residual view
+    # converges, and the program stops when every group has frozen. Only the
+    # grid-parallel solver distinguishes them (the single-program simulator
+    # has one residual view).
+    converge_test_type: str = "global"  # global | local
     #   "update": the shared residual is maintained INCREMENTALLY,
     #   r -= A*(sum of applied corrections), the reference's READ_RES +
     #   LOCAL res_compute mode (src/SMEM_Async_AMG.cpp:270-302) — the

@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-fire_prob", type=float, default=d.fire_prob)
     a("-async_comm_save_divisor", type=int,
       default=d.async_comm_save_divisor)
+    a("-converge_test_type", default=d.converge_test_type,
+      choices=("global", "local"))
     a("-delay_levels", type=int, nargs="*", default=[])
     a("-delay_prob", type=float, default=d.delay_prob)
     a("-fail_level", type=int, default=d.fail_level)

@@ -108,6 +108,10 @@ class SolverOptions:
     # message coalescing for the grid-parallel async exchange (the
     # reference's -async_comm_save_divisor, src/DMEM_Add.cpp:375-383)
     async_comm_save_divisor: int = 1
+    # async termination scope (reference -converge_test_type local|global,
+    # CheckConverge src/DMEM_Add.cpp:906-944); applies to the grid-parallel
+    # async solve
+    converge_test_type: str = "global"  # global | local
 
     # async one-level smoothing / stochastic parallel Southwell
     # (reference: -sps_alpha, -sps_rand, src/DMEM_Main.cpp:448-460)

