@@ -42,6 +42,9 @@ class CycleType(enum.Enum):
     AFACX = "afacx"
     AFACJ = "afacj"
     BPX = "bpx"
+    # multiplicative on levels [0, coarsest_mult_level), multadd as the
+    # coarse-grid solver below (reference solver MULT_MULTADD)
+    MULT_MULTADD = "mult_multadd"
 
 
 @dataclass(frozen=True)
@@ -58,6 +61,13 @@ class CycleConfig:
     num_add_sweeps: int = 1  # multadd per-level sweeps
     use_smoothed_transfers: bool = False  # multadd ONE_INTERPOLANT mode
     simple_add_smoother: bool = False  # skip symmetrization (simple_jacobi)
+    # MULT_MULTADD hybrid: multiplicative above this level, additive below
+    # (reference -coarsest_mult_level, src/DMEM_Main.cpp:435-437,714-719;
+    # the additive machinery roots its chains there via
+    # finest_level = coarsest_mult_level, src/DMEM_Add.cpp:215)
+    coarsest_mult_level: int = 1
+    # additive cycles per coarse solve (reference -num_inner_cycles)
+    num_inner_cycles: int = 2
 
 
 def coarse_solve(hier: Hierarchy, r: jnp.ndarray) -> jnp.ndarray:
@@ -237,8 +247,60 @@ def sync_additive_cycle(
     return x + c
 
 
+def sub_hierarchy(hier: Hierarchy, start: int) -> Hierarchy:
+    """View of the hierarchy rooted at level `start` (shares level pytrees;
+    the coarsest dense inverse is common)."""
+    return Hierarchy(levels=hier.levels[start:], coarse_Ainv=hier.coarse_Ainv)
+
+
+def mult_multadd_vcycle(
+    hier: Hierarchy, cfg: CycleConfig, x: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """Multiplicative V-cycle with multadd as the coarse-grid solver below
+    coarsest_mult_level — the reference's MULT_MULTADD solver ("classical
+    multiplicative with multadd as coarse grid solver",
+    src/DMEM_Main.cpp:847-852): the additive machinery operates on levels
+    >= coarsest_mult_level (src/DMEM_Add.cpp:215), the multiplicative sweep
+    above. num_inner_cycles additive cycles approximate the coarse solve."""
+    import dataclasses
+
+    L = hier.num_levels
+    cml = min(max(cfg.coarsest_mult_level, 0), L - 1)
+    fs = [b]
+    xs = [x]
+    # multiplicative down sweep on [0, cml)
+    for k in range(cml):
+        lv = hier.levels[k]
+        u = smooth(
+            lv.A, lv.sm, cfg.smoother, xs[k], fs[k],
+            num_sweeps=cfg.num_pre_sweeps, zero_guess=(k > 0),
+        )
+        xs[k] = u
+        r = fs[k] - lv.A @ u
+        fs.append(lv.R @ r)
+        xs.append(None)
+    # coarse solve at level cml: num_inner_cycles synchronous additive
+    # cycles on the sub-hierarchy rooted there
+    sub = sub_hierarchy(hier, cml)
+    inner_cfg = dataclasses.replace(cfg, cycle=CycleType.MULTADD)
+    u = xs[cml] if cml == 0 else jnp.zeros_like(fs[cml])
+    for _ in range(max(cfg.num_inner_cycles, 1)):
+        u = sync_additive_cycle(sub, inner_cfg, u, fs[cml])
+    xs[cml] = u
+    # multiplicative up sweep
+    for k in reversed(range(cml)):
+        lv = hier.levels[k]
+        u = xs[k] + lv.P @ xs[k + 1]
+        xs[k] = smooth_transpose(
+            lv.A, lv.sm, cfg.smoother, u, fs[k], num_sweeps=cfg.num_post_sweeps
+        )
+    return xs[0]
+
+
 def cycle_step(hier, cfg: CycleConfig, x, b):
     """Dispatch one cycle of the configured type."""
     if cfg.cycle == CycleType.MULT:
         return mult_vcycle(hier, cfg, x, b)
+    if cfg.cycle == CycleType.MULT_MULTADD:
+        return mult_multadd_vcycle(hier, cfg, x, b)
     return sync_additive_cycle(hier, cfg, x, b)

@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-num_fine_smooth_sweeps", type=int, default=d.num_fine_smooth_sweeps)
     a("-num_coarse_smooth_sweeps", type=int, default=d.num_coarse_smooth_sweeps)
     a("-num_add_smooth_sweeps", type=int, default=d.num_add_smooth_sweeps)
+    a("-coarsest_mult_level", type=int, default=d.coarsest_mult_level)
+    a("-num_inner_cycles", type=int, default=d.num_inner_cycles)
     a("-simple_jacobi", action="store_true")
     a("-multiple_interpolants", dest="one_interpolant", action="store_false")
     a("-accel", default=d.accel, choices=("none", "cheby", "richardson"))
@@ -103,6 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-only_build_matrix", action="store_true")
     a("-print_matrix", default=d.print_matrix)
     a("-num_runs", type=int, default=d.num_runs)
+    a("-warmup", action="store_true")
     return p
 
 
@@ -111,6 +114,11 @@ def main(argv=None) -> int:
     opts = SolverOptions(**{k: (tuple(v) if isinstance(v, list) else v)
                             for k, v in vars(args).items()})
     runs = []
+    if opts.warmup:
+        # one discarded run before the timed ones (reference -warmup,
+        # src/SMEM_Main.cpp:691-693: num_runs++ and run 1 is skipped in the
+        # stats) — under jit this also absorbs compilation time
+        run_experiment(opts)
     for i in range(opts.num_runs):
         stats = run_experiment(opts)
         stats.print_report(opts)

@@ -14,7 +14,8 @@ from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 # solver taxonomy of the reference (Main.hpp:60-77), native names
-SYNC_SOLVERS = ("mult", "multadd", "afacx", "afacj", "bpx", "par_bpx")
+SYNC_SOLVERS = ("mult", "multadd", "mult_multadd", "afacx", "afacj", "bpx",
+                "par_bpx")
 ASYNC_SOLVERS = ("async_multadd", "async_afacx", "async_bpx")
 SMOOTH_SOLVERS = ("async_smooth",)  # one-level async relaxation (finest grid)
 EXT_SOLVERS = ("explicit_ext_bpx", "implicit_ext_bpx",
@@ -87,6 +88,10 @@ class SolverOptions:
     num_add_smooth_sweeps: int = 1
     simple_jacobi: bool = False  # -simple_jacobi
     one_interpolant: bool = True  # smoothed-transfer multadd chains
+    # MULT_MULTADD hybrid (reference -coarsest_mult_level,
+    # -num_inner_cycles): multiplicative above the level, multadd below
+    coarsest_mult_level: int = 1
+    num_inner_cycles: int = 2
 
     # acceleration / outer (reference: -cheby, -richard, -outer_solver pcg);
     # ams_pcg = PCG with the auxiliary-space (Hiptmair/AMS) preconditioner
@@ -156,6 +161,7 @@ class SolverOptions:
     only_build_matrix: bool = False  # reference -only_build_matrix
     print_matrix: str = ""  # dump A as binary triplets to this path
     num_runs: int = 1
+    warmup: bool = False  # one discarded run first (reference -warmup)
 
     def fixup(self) -> "SolverOptions":
         """Derived-flag rules, as in the reference's post-parse fixups."""

@@ -238,15 +238,21 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
 
     base = opts.solver.removeprefix("async_")
     cfg = CycleConfig(
-        cycle=CycleType(base if base in ("mult", "multadd", "afacx", "afacj", "bpx") else "bpx"),
+        cycle=CycleType(base if base in (
+            "mult", "multadd", "mult_multadd", "afacx", "afacj", "bpx"
+        ) else "bpx"),
         smoother=smoother,
         num_pre_sweeps=opts.num_pre_smooth_sweeps,
         num_post_sweeps=opts.num_post_smooth_sweeps,
         num_fine_sweeps=opts.num_fine_smooth_sweeps,
         num_coarse_sweeps=opts.num_coarse_smooth_sweeps,
         num_add_sweeps=opts.num_add_smooth_sweeps,
-        use_smoothed_transfers=(base == "multadd" and opts.one_interpolant),
+        use_smoothed_transfers=(
+            base in ("multadd", "mult_multadd") and opts.one_interpolant
+        ),
         simple_add_smoother=opts.simple_jacobi,
+        coarsest_mult_level=opts.coarsest_mult_level,
+        num_inner_cycles=opts.num_inner_cycles,
     )
 
     if opts.solver == "async_smooth":

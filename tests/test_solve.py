@@ -202,3 +202,58 @@ class TestLOBPCG:
         assert o.cheby_eig == "lobpcg"
         o = SolverOptions(cheby_eig="slepc").fixup()
         assert o.cheby_eig == "lanczos"
+
+
+class TestMultMultadd:
+    """MULT_MULTADD hybrid: multiplicative V-cycle with multadd as the
+    coarse-grid solver below coarsest_mult_level (reference solver 4,
+    src/DMEM_Main.cpp:714-719,847-852; src/DMEM_Add.cpp:215)."""
+
+    def _setup(self, n=32):
+        prob = laplacian_2d_5pt(n)
+        params = HierarchyParams(smoother=SmootherType.L1_JACOBI)
+        hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        return prob, hier, b
+
+    def test_converges(self):
+        prob, hier, b = self._setup()
+        cfg = CycleConfig(
+            cycle=CycleType.MULT_MULTADD, smoother=SmootherType.L1_JACOBI,
+            use_smoothed_transfers=True, coarsest_mult_level=1,
+            num_inner_cycles=2,
+        )
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=80)
+        assert float(res.rel_resnorm) <= 1e-8
+        assert res.num_iters() <= 40
+        r = np.asarray(b) - prob.A @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 2e-8
+
+    def test_degenerates_to_mult_at_coarsest(self):
+        """coarsest_mult_level = L-1 with one inner cycle IS the plain
+        multiplicative V-cycle (the inner additive solve on the one-level
+        sub-hierarchy is exactly the dense coarse solve)."""
+        prob, hier, b = self._setup(24)
+        L = hier.num_levels
+        cfg_m = CycleConfig(cycle=CycleType.MULT,
+                            smoother=SmootherType.L1_JACOBI)
+        cfg_h = CycleConfig(
+            cycle=CycleType.MULT_MULTADD, smoother=SmootherType.L1_JACOBI,
+            coarsest_mult_level=L - 1, num_inner_cycles=1,
+        )
+        res_m = solve(hier, cfg_m, b, tol=1e-8, max_cycles=60)
+        res_h = solve(hier, cfg_h, b, tol=1e-8, max_cycles=60)
+        assert int(res_h.iters) == int(res_m.iters)
+        np.testing.assert_allclose(
+            np.asarray(res_h.x), np.asarray(res_m.x), rtol=1e-12, atol=1e-15
+        )
+
+    def test_cli_solver(self):
+        from amg_tpu.utils.config import SolverOptions
+        from amg_tpu.utils.runner import run_experiment
+
+        st = run_experiment(SolverOptions(
+            problem="5pt", n=24, solver="mult_multadd",
+            coarsest_mult_level=1, num_inner_cycles=2,
+        ))
+        assert st.rel_resnorm <= 1e-8
