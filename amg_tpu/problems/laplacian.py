@@ -115,16 +115,23 @@ def difconv_3d(
     ax: float = 1.0,
     ay: float = 1.0,
     az: float = 1.0,
+    cx: float = 1.0,
+    cy: float = 1.0,
+    cz: float = 1.0,
     atype: int = DIFCONV_FORWARD,
 ) -> Problem:
-    """3D 7-point diffusion-convection  -eps*Laplace(u) + a . grad(u)
-    on the unit cube with h = 1/(n+1) per axis
-    (reference: src/Laplacian.cpp:158-199 wrapping GenerateDifConv)."""
+    """3D 7-point diffusion-convection
+    -div(eps*c grad(u)) + a . grad(u) on the unit cube with h = 1/(n+1)
+    per axis; (cx,cy,cz) are the per-axis diffusion coefficients and
+    (ax,ay,az) the convection velocity — the full coefficient vocabulary
+    of the reference's -cx/-cy/-cz/-ax/-ay/-az flags (reference:
+    src/Laplacian.cpp:158-199 and src/DMEM_BuildMatrix.cpp:169-440
+    wrapping GenerateDifConv)."""
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
     hx, hy, hz = 1.0 / (nx + 1), 1.0 / (ny + 1), 1.0 / (nz + 1)
     # diffusion part (scaled by h^2-normalized FD weights)
-    dx, dy, dz = eps / hx**2, eps / hy**2, eps / hz**2
+    dx, dy, dz = eps * cx / hx**2, eps * cy / hy**2, eps * cz / hz**2
     offsets = [
         (0, 0, 0),
         (-1, 0, 0),

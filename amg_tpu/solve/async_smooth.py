@@ -36,6 +36,11 @@ class AsyncSmoothConfig:
     num_blocks: int = 8  # rank/shard analog
     method: str = "southwell_exp"  # fixed | southwell_exp | southwell_inv
     sps_alpha: float = 1.0
+    # > 0: derive each block's alpha from its neighbor count so the firing
+    # probability at the worst rank (all neighbors larger) is exactly
+    # sps_min_prob — the reference's -sps_min_prob,
+    # alpha = -log(min_prob)/num_sends (src/DMEM_Setup.cpp:1168-1170)
+    sps_min_prob: float = 0.0
     fire_prob: float = 0.5  # for method == "fixed"
 
 
@@ -107,10 +112,18 @@ def _loop(A, sm, cfg, nbr, b, x0, key, tol, max_cycles):
             # x_b = #neighbors with larger block residual norm
             bigger = (rnorms[None, :] > rnorms[:, None]) & nbr
             xcount = jnp.sum(bigger, axis=1).astype(dtype)
+            if cfg.sps_min_prob > 0.0:
+                # per-block alpha from the neighbor degree: the worst rank
+                # (every neighbor larger) fires with exactly sps_min_prob
+                # (reference: src/DMEM_Setup.cpp:1168-1170)
+                deg = jnp.maximum(jnp.sum(nbr, axis=1).astype(dtype), 1.0)
+                alpha = -jnp.log(cfg.sps_min_prob) / deg
+            else:
+                alpha = cfg.sps_alpha
             if cfg.method == "southwell_inv":
-                p = 1.0 / jnp.maximum(xcount * cfg.sps_alpha, 1.0)
+                p = 1.0 / jnp.maximum(xcount * alpha, 1.0)
             else:  # southwell_exp
-                p = jnp.exp(-xcount * cfg.sps_alpha)
+                p = jnp.exp(-xcount * alpha)
         fire = jax.random.uniform(kf, (B,), dtype) < p
         x_new = smooth(A, sm, cfg.smoother, x, b, num_sweeps=1)
         du = x_new - x

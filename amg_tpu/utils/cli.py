@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-sps_method", default=d.sps_method,
       choices=("fixed", "southwell_exp", "southwell_inv"))
     a("-sps_alpha", type=float, default=d.sps_alpha)
+    a("-sps_min_prob", type=float, default=d.sps_min_prob)
+    for f in ("ax", "ay", "az", "cx", "cy", "cz"):
+        a(f"-{f}", type=float, default=getattr(d, f))
     a("-num_blocks", type=int, default=d.num_blocks)
     a("-rhs", default=d.rhs, choices=("rand", "ones", "zeros"))
     a("-init_guess", default=d.init_guess, choices=("rand", "ones", "zeros"))

@@ -122,6 +122,16 @@ class SolverOptions:
     # (reference: -sps_alpha, -sps_rand, src/DMEM_Main.cpp:448-460)
     sps_method: str = "southwell_exp"  # fixed | southwell_exp | southwell_inv
     sps_alpha: float = 1.0
+    sps_min_prob: float = 0.0  # > 0: derive alpha per block (-sps_min_prob)
+
+    # difconv coefficients (reference -ax/-ay/-az convection velocity,
+    # -cx/-cy/-cz per-axis diffusion, src/DMEM_Main.cpp CLI)
+    ax: float = 1.0
+    ay: float = 1.0
+    az: float = 1.0
+    cx: float = 1.0
+    cy: float = 1.0
+    cz: float = 1.0
     num_blocks: int = 8  # rank/shard analog for the async-smooth partition
 
     # fault / straggler injection (reference: -delay_*, -fail_one)

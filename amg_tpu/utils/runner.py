@@ -30,7 +30,11 @@ def build_problem(opts: SolverOptions):
     if opts.problem == "27pt":
         return laplacian_3d_27pt(nx, ny, nz)
     if opts.problem == "difconv":
-        return difconv_3d(nx, ny, nz, eps=opts.eps, atype=opts.difconv_atype)
+        return difconv_3d(
+            nx, ny, nz, eps=opts.eps, atype=opts.difconv_atype,
+            ax=opts.ax, ay=opts.ay, az=opts.az,
+            cx=opts.cx, cy=opts.cy, cz=opts.cz,
+        )
     if opts.problem == "vardifconv":
         return vardifconv_3d(nx, ny, nz, eps=opts.eps, seed=opts.seed)
     if opts.problem == "elasticity":
@@ -267,6 +271,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             num_blocks=opts.num_blocks,
             method=opts.sps_method,
             sps_alpha=opts.sps_alpha,
+            sps_min_prob=opts.sps_min_prob,
             fire_prob=opts.fire_prob,
         )
         nbr = block_neighbor_mask(prob.A, opts.num_blocks)

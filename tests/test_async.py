@@ -248,3 +248,41 @@ class TestAsyncCoalescing:
             key=jax.random.PRNGKey(0), tol=1e-8, max_cycles=500,
         )
         assert float(res.rel_resnorm) <= 1e-8
+
+
+class TestSpsMinProb:
+    def test_min_prob_derived_alpha(self, setup32):
+        """-sps_min_prob > 0 derives each block's alpha from its neighbor
+        degree so the worst-ranked block fires with exactly min_prob
+        (reference: src/DMEM_Setup.cpp:1168-1170). The derived-alpha run
+        converges and takes a different trajectory than the fixed-alpha
+        run with the same key."""
+        from amg_tpu.solve.async_smooth import (
+            AsyncSmoothConfig,
+            async_smooth_solve,
+            block_neighbor_mask,
+        )
+        from amg_tpu.smooth import make_smoother_data
+        from amg_tpu.sparse.ell import ell_from_csr
+
+        prob, hh, hier, b, params = setup32
+        A = ell_from_csr(prob.A)
+        sm = make_smoother_data(prob.A, SmootherType.L1_JACOBI, w=1.0)
+        nbr = block_neighbor_mask(prob.A, 8)
+        key = jax.random.PRNGKey(2)
+        base = AsyncSmoothConfig(
+            smoother=SmootherType.L1_JACOBI, num_blocks=8,
+            method="southwell_exp", sps_alpha=0.5,
+        )
+        derived = AsyncSmoothConfig(
+            smoother=SmootherType.L1_JACOBI, num_blocks=8,
+            method="southwell_exp", sps_min_prob=0.5,
+        )
+        r1 = async_smooth_solve(A, sm, base, nbr, b, key=key, tol=1e-3,
+                                max_cycles=5000)
+        r2 = async_smooth_solve(A, sm, derived, nbr, b, key=key, tol=1e-3,
+                                max_cycles=5000)
+        assert float(r2.rel_resnorm) <= 1e-3
+        assert int(r2.iters) != int(r1.iters) or not np.allclose(
+            np.asarray(r1.block_updates), np.asarray(r2.block_updates)
+        )

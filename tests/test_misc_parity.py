@@ -77,3 +77,32 @@ def test_checkpoint_roundtrip(tmp_path):
     abs_cold = float(jnp.linalg.norm(b - A0 @ res_cold.x))
     assert abs2 < abs_cold
     assert float(res2.rel_resnorm) < 1e-8
+
+
+def test_difconv_anisotropic_diffusion_matches_7pt():
+    """cx/cy/cz per-axis diffusion (reference -cx/-cy/-cz): with zero
+    convection, difconv is the anisotropic 7-pt Laplacian scaled by 1/h^2."""
+    import numpy as np
+
+    from amg_tpu.problems import laplacian_3d_7pt
+
+    n = 6
+    h = 1.0 / (n + 1)
+    p = difconv_3d(n, eps=1.0, ax=0.0, ay=0.0, az=0.0,
+                   cx=2.0, cy=1.0, cz=0.25)
+    lap = laplacian_3d_7pt(n, cx=2.0, cy=1.0, cz=0.25)
+    np.testing.assert_allclose(
+        p.A.to_dense() * h * h, lap.A.to_dense(), rtol=1e-13, atol=1e-13
+    )
+
+
+def test_difconv_cli_coefficient_flags():
+    from amg_tpu.utils.cli import build_parser
+    from amg_tpu.utils.config import SolverOptions
+
+    args = build_parser().parse_args(
+        "-problem difconv -n 8 -ax 0.5 -cy 3.0".split()
+    )
+    o = SolverOptions(**{k: (tuple(v) if isinstance(v, list) else v)
+                         for k, v in vars(args).items()})
+    assert o.ax == 0.5 and o.cy == 3.0 and o.cx == 1.0
