@@ -109,37 +109,57 @@ def build_parser() -> argparse.ArgumentParser:
     a("-print_matrix", default=d.print_matrix)
     a("-num_runs", type=int, default=d.num_runs)
     a("-warmup", action="store_true")
+    a("-start_num_iters", type=int, default=d.start_num_iters)
+    a("-incr_num_iters", type=int, default=d.incr_num_iters)
+    a("-max_num_iters", type=int, default=d.max_num_iters)
     return p
 
 
 def main(argv=None) -> int:
+    import dataclasses
+
     args = build_parser().parse_args(argv)
     opts = SolverOptions(**{k: (tuple(v) if isinstance(v, list) else v)
                             for k, v in vars(args).items()})
-    runs = []
+    if opts.max_num_iters > 0:
+        # iteration-sweep harness: time fixed cycle counts num_cycles =
+        # start, start+incr, ..., max (reference: src/SMEM_Main.cpp:694,
+        # `for (num_iters = start_num_iters; num_iters <= max_num_iters;
+        # num_iters += incr_num_iters)` with num_cycles = num_iters)
+        start = opts.start_num_iters if opts.start_num_iters > 0 \
+            else opts.max_num_iters
+        sweep = range(start, opts.max_num_iters + 1,
+                      max(opts.incr_num_iters, 1))
+    else:
+        sweep = [opts.num_cycles]
     if opts.warmup:
         # one discarded run before the timed ones (reference -warmup,
         # src/SMEM_Main.cpp:691-693: num_runs++ and run 1 is skipped in the
         # stats) — under jit this also absorbs compilation time
         run_experiment(opts)
-    for i in range(opts.num_runs):
-        stats = run_experiment(opts)
-        stats.print_report(opts)
-        runs.append(stats)
-    if opts.num_runs > 1:
-        # mean/min/max aggregation over runs (reference: PrintOutput,
-        # src/Misc.cpp:6-214 aggregates per-thread and per-run timers)
-        import numpy as _np
+    for num_iters in sweep:
+        o = dataclasses.replace(opts, num_cycles=num_iters)
+        if opts.max_num_iters > 0:
+            print(f"=== num_cycles = {num_iters} ===")
+        runs = []
+        for i in range(o.num_runs):
+            stats = run_experiment(o)
+            stats.print_report(o)
+            runs.append(stats)
+        if o.num_runs > 1:
+            # mean/min/max aggregation over runs (reference: PrintOutput,
+            # src/Misc.cpp:6-214 aggregates per-thread and per-run timers)
+            import numpy as _np
 
-        def agg(vals):
-            v = _np.asarray(vals, dtype=float)
-            return f"{v.mean():.6g} / {v.min():.6g} / {v.max():.6g}"
+            def agg(vals):
+                v = _np.asarray(vals, dtype=float)
+                return f"{v.mean():.6g} / {v.min():.6g} / {v.max():.6g}"
 
-        print(f"=== aggregate over {opts.num_runs} runs (mean/min/max) ===")
-        print(f"solve wtime    : {agg([s.solve_wtime for s in runs])}")
-        print(f"setup wtime    : {agg([s.setup_wtime for s in runs])}")
-        print(f"cycles         : {agg([s.cycles for s in runs])}")
-        print(f"rel res 2-norm : {agg([s.rel_resnorm for s in runs])}")
+            print(f"=== aggregate over {o.num_runs} runs (mean/min/max) ===")
+            print(f"solve wtime    : {agg([s.solve_wtime for s in runs])}")
+            print(f"setup wtime    : {agg([s.setup_wtime for s in runs])}")
+            print(f"cycles         : {agg([s.cycles for s in runs])}")
+            print(f"rel res 2-norm : {agg([s.rel_resnorm for s in runs])}")
     return 0
 
 

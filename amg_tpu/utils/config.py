@@ -172,6 +172,13 @@ class SolverOptions:
     print_matrix: str = ""  # dump A as binary triplets to this path
     num_runs: int = 1
     warmup: bool = False  # one discarded run first (reference -warmup)
+    # iteration-sweep harness: re-run the solve at num_cycles =
+    # start_num_iters, start+incr, ..., max_num_iters (reference:
+    # src/SMEM_Main.cpp:108-110,694 — used with tol=0 to time fixed
+    # cycle counts). max_num_iters <= 0 disables the sweep.
+    start_num_iters: int = 0
+    incr_num_iters: int = 1
+    max_num_iters: int = 0
 
     def fixup(self) -> "SolverOptions":
         """Derived-flag rules, as in the reference's post-parse fixups."""

@@ -78,3 +78,17 @@ def test_cli_num_runs_aggregation(capsys):
     out = capsys.readouterr().out
     assert "aggregate over 2 runs" in out
     assert "per-phase wtime" in out
+
+
+def test_cli_iteration_sweep(capsys):
+    """-start/-incr/-max_num_iters re-runs the solve at each fixed cycle
+    count (reference: src/SMEM_Main.cpp:108-110,694)."""
+    from amg_tpu.utils.cli import main
+
+    main(["-problem", "5pt", "-n", "16", "-solver", "mult", "-tol", "0",
+          "-start_num_iters", "2", "-incr_num_iters", "2",
+          "-max_num_iters", "6"])
+    out = capsys.readouterr().out
+    for k in (2, 4, 6):
+        assert f"=== num_cycles = {k} ===" in out
+    assert out.count("cycles") >= 3
