@@ -61,6 +61,7 @@ from amg_tpu.solve.cycles import CycleConfig, additive_correction
 def plan_grid_levels(
     hh, num_devices: int, async_mode: bool = True, imbalance: float = 0.0,
     smoothed_transfers: bool = False,
+    assign_policy: str = "balanced", assign_scalar: float = 0.5,
 ):
     """Work-model level→device plan. Returns (assignment, levels_of, scale)
     where levels_of[d] is the tuple of levels device d computes and
@@ -71,7 +72,9 @@ def plan_grid_levels(
         hh, async_mode=async_mode, imbalance=imbalance,
         smoothed_transfers=smoothed_transfers,
     )
-    assignment = assign_levels_to_devices(work, num_devices)
+    assignment = assign_levels_to_devices(
+        work, num_devices, policy=assign_policy, scalar=assign_scalar
+    )
     levels_of = [[] for _ in range(num_devices)]
     L = len(assignment)
     scale = np.zeros(L)
@@ -210,10 +213,19 @@ def grid_parallel_solve(
         hist0 = hist0.at[0].set(1.0)
 
         def body(state):
-            (x, ring, lr, gw, marks, gcorr, r_state, c_pend, k, relnorm,
-             nflags, dflag, hist, key_s) = state
+            (x, ring, lr, gw, marks, gcorr, r_state, c_pend, waits, k,
+             relnorm, nflags, dflag, hist, key_s) = state
             key_s, kf, kp, *kreads = jax.random.split(key_s, 3 + L)
-            fire = jax.random.uniform(kf, (L,), dtype) < probs
+            if acfg.sim_grid_wait > 0:
+                # wait-counter firing, replicated across devices — the same
+                # draws as async_sim (reference: src/SEQ_AMG.cpp:260,482)
+                fire = waits <= 0
+                redraw = jnp.round(
+                    jax.random.uniform(kf, (L,)) * acfg.sim_grid_wait
+                ).astype(jnp.int32)
+                waits = jnp.where(fire, redraw, waits - 1)
+            else:
+                fire = jax.random.uniform(kf, (L,), dtype) < probs
             if acfg.fail_level >= 0:
                 in_w = (k >= acfg.fail_start) & (
                     k < acfg.fail_start + acfg.fail_duration
@@ -304,12 +316,12 @@ def grid_parallel_solve(
             hist = hist.at[k + 1].set(relnorm)
             ring = ring.at[(k + 1) % W].set(snap)
             return (
-                x, ring, new_lr, gw, marks, gcorr, r_maint, c_pend, k + 1,
-                relnorm, nfl, dflag, hist, key_s,
+                x, ring, new_lr, gw, marks, gcorr, r_maint, c_pend, waits,
+                k + 1, relnorm, nfl, dflag, hist, key_s,
             )
 
         def cond(state):
-            k, relnorm, nflags = state[8], state[9], state[10]
+            k, relnorm, nflags = state[9], state[10], state[11]
             if local_conv:
                 # LOCAL_CONVERGE: the program ends when every group has
                 # frozen itself, regardless of the global norm
@@ -320,15 +332,22 @@ def grid_parallel_solve(
             # flag-propagation step
             return (k < max_cycles) & (relnorm > tol) & (nflags < D)
 
+        if acfg.sim_grid_wait > 0:
+            key_, kw0 = jax.random.split(key_)
+            waits0 = jnp.round(
+                jax.random.uniform(kw0, (L,)) * acfg.sim_grid_wait
+            ).astype(jnp.int32)
+        else:
+            waits0 = jnp.zeros(L, jnp.int32)
         state = (
             x0_, ring0, lr0, gw0, jnp.zeros(L, jnp.int32),
-            jnp.zeros((), jnp.int32), r0, jnp.zeros(n, dtype),
+            jnp.zeros((), jnp.int32), r0, jnp.zeros(n, dtype), waits0,
             jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
             jnp.asarray(0.0, dtype),
             hist0, key_,
         )
-        (x, _, _, gw, _, _, _, c_pend, it, relnorm, _, _, hist,
+        (x, _, _, gw, _, _, _, c_pend, _, it, relnorm, _, _, hist,
          _) = jax.lax.while_loop(cond, body, state)
         # unflushed pending corrections enter the final answer (the drain
         # loop of the reference's AsyncRecvCleanup, src/DMEM_Add.cpp:827-890)

@@ -65,23 +65,46 @@ def compute_level_work(
     return work / work.sum()
 
 
-def assign_levels_to_devices(work: np.ndarray, num_devices: int) -> list:
+def assign_levels_to_devices(
+    work: np.ndarray, num_devices: int,
+    policy: str = "balanced", scalar: float = 0.5,
+) -> list:
     """Contiguous device ranges per level, sized ∝ work fraction; every level
     gets ≥1 device when possible, coarse levels may share the last device.
     Returns [(dev_start, dev_end_exclusive)] per level
-    (reference: AssignProcs src/DMEM_Setup.cpp:1638-1759)."""
+    (reference: AssignProcs src/DMEM_Setup.cpp:1638-1759).
+
+    policy "balanced" sizes groups by the work model
+    (ASSIGN_PROCS_BALANCED_WORK); "scalar" decays geometrically — each
+    successive level gets max(floor(prev * scalar), 1) devices with the
+    remainder on the coarsest (ASSIGN_PROCS_SCALAR + -assign_procs_scalar,
+    src/DMEM_Setup.cpp:1684-1685)."""
     L = len(work)
     if num_devices >= L:
-        # largest-remainder apportionment with a 1-device floor
-        ideal = work * num_devices
-        counts = np.maximum(np.floor(ideal).astype(int), 1)
-        while counts.sum() > num_devices:
-            counts[np.argmax(counts)] -= 1
-        order = np.argsort(-(ideal - counts))
-        i = 0
-        while counts.sum() < num_devices:
-            counts[order[i % L]] += 1
-            i += 1
+        if policy == "scalar":
+            counts = np.zeros(L, dtype=int)
+            cand = num_devices
+            for k in range(L):
+                cand = max(int(np.floor(cand * scalar)), 1)
+                counts[k] = cand
+            # repair to exactly num_devices, floor of 1 per level, surplus
+            # devices land on the coarsest grid (the reference's last level
+            # takes count_num_procs)
+            while counts.sum() > num_devices:
+                big = int(np.argmax(counts))
+                counts[big] -= 1
+            counts[-1] += num_devices - counts.sum()
+        else:
+            # largest-remainder apportionment with a 1-device floor
+            ideal = work * num_devices
+            counts = np.maximum(np.floor(ideal).astype(int), 1)
+            while counts.sum() > num_devices:
+                counts[np.argmax(counts)] -= 1
+            order = np.argsort(-(ideal - counts))
+            i = 0
+            while counts.sum() < num_devices:
+                counts[order[i % L]] += 1
+                i += 1
         out = []
         start = 0
         for k in range(L):

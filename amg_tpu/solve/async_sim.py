@@ -61,6 +61,13 @@ class AsyncConfig:
     async_type: str = "full"  # "full" (per-row staleness) | "semi" (per-level)
     sim_read_delay: int = 4  # staleness window in global steps
     fire_prob: float = 0.5  # per-level per-step firing probability
+    # > 0: the reference's exact firing model instead of Bernoulli — each
+    # level carries a countdown drawn uniformly from [0, sim_grid_wait]
+    # after every apply and fires when it reaches zero (reference:
+    # grid_wait_list[level] = round(RandDouble(0, sim_grid_wait)),
+    # src/SEQ_AMG.cpp:260,482,552). delay_levels/delay_prob are ignored in
+    # this mode (the reference's sim path has no per-level delay knob).
+    sim_grid_wait: int = 0
     # Richardson under-relaxation applied to every applied correction: the
     # async analog of the reference's outer Chebyshev/Richardson (the global
     # 3-term recurrence is inconsistent with partial stale updates, so the
@@ -190,10 +197,20 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
     E = max(int(acfg.comm_every), 1)
 
     def body(state):
-        (x, ring, lr, gw, apply_marks, gcorrect, r_state, pending, k,
+        (x, ring, lr, gw, apply_marks, gcorrect, r_state, pending, waits, k,
          relnorm, hist, key) = state
         key, kf, kp, *kreads = jax.random.split(key, 3 + L)
-        fire = jax.random.uniform(kf, (L,), dtype) < probs
+        if acfg.sim_grid_wait > 0:
+            # wait-counter firing: fire when the countdown hits zero, then
+            # redraw it uniformly from [0, sim_grid_wait] (the reference's
+            # SEQ_Add_Vcycle_Sim grid_wait_list, src/SEQ_AMG.cpp:260,482)
+            fire = waits <= 0
+            redraw = jnp.round(
+                jax.random.uniform(kf, (L,)) * acfg.sim_grid_wait
+            ).astype(jnp.int32)
+            waits = jnp.where(fire, redraw, waits - 1)
+        else:
+            fire = jax.random.uniform(kf, (L,), dtype) < probs
         # transient failure window
         if acfg.fail_level >= 0:
             in_window = (k >= acfg.fail_start) & (
@@ -279,19 +296,30 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         ring = ring.at[(k + 1) % W].set(snap)
         return (
             x, ring, new_lr, gw, apply_marks, gcorrect, r_maint, pending,
-            k + 1, relnorm, hist, key,
+            waits, k + 1, relnorm, hist, key,
         )
 
     def cond(state):
-        k, relnorm = state[8], state[9]
+        k, relnorm = state[9], state[10]
         return (k < max_cycles) & (relnorm > tol)
 
+    # initial wait counters: one uniform draw per level (reference seeds the
+    # list before the first cycle, src/SEQ_AMG.cpp:258-261). The extra key
+    # split happens ONLY in wait-counter mode so the Bernoulli RNG stream —
+    # which grid_parallel_solve replicates exactly — is unchanged.
+    if acfg.sim_grid_wait > 0:
+        key, kw = jax.random.split(key)
+        waits0 = jnp.round(
+            jax.random.uniform(kw, (L,)) * acfg.sim_grid_wait
+        ).astype(jnp.int32)
+    else:
+        waits0 = jnp.zeros(L, jnp.int32)
     state = (
         x0, hist_ring, last_read, gw0, jnp.zeros(L, jnp.int32),
-        global_correct0, r0, jnp.zeros((L, n), dtype),
+        global_correct0, r0, jnp.zeros((L, n), dtype), waits0,
         jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype), hist0, key,
     )
-    x, _, _, gw, _, _, _, _, it, relnorm, hist, _ = jax.lax.while_loop(
+    x, _, _, gw, _, _, _, _, _, it, relnorm, hist, _ = jax.lax.while_loop(
         cond, body, state
     )
     return AsyncResult(

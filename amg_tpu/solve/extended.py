@@ -119,7 +119,8 @@ def build_extended_system(
 
 
 def build_sharded_extended_system(
-    hh, params, mesh, weight: Optional[float] = None, imbalance: float = 0.0
+    hh, params, mesh, weight: Optional[float] = None, imbalance: float = 0.0,
+    assign_policy: str = "balanced", assign_scalar: float = 0.5,
 ) -> ExtendedSystem:
     """Grid parallelism on the extended system: pad each level block to
     shard boundaries of the mesh (amg_tpu.parallel.dist.pad_extended_layout)
@@ -149,7 +150,9 @@ def build_sharded_extended_system(
     dtype = params.dtype
     sizes = [lv.A.n_rows for lv in hh.levels]
     work = compute_level_work(hh, imbalance=imbalance)
-    assignment = assign_levels_to_devices(work, D)
+    assignment = assign_levels_to_devices(
+        work, D, policy=assign_policy, scalar=assign_scalar
+    )
     p_off, p_total, row_owner = pad_extended_layout(sizes, assignment, D)
 
     A0 = hh.levels[0].A.to_scipy()

@@ -27,10 +27,18 @@ def build_parser() -> argparse.ArgumentParser:
     a("-nx", type=int, default=d.nx)
     a("-ny", type=int, default=d.ny)
     a("-nz", type=int, default=d.nz)
-    a("-eps", type=float, default=d.eps)
+    # -vardifconv_eps is the reference's spelling for the same coefficient
+    # on the vardifconv problem (src/DMEM_Main.cpp)
+    a("-eps", "-vardifconv_eps", type=float, default=d.eps)
     a("-difconv_atype", type=int, default=d.difconv_atype)
     a("-mat_file", dest="matrix_file", default=d.matrix_file)
-    a("-num_functions", type=int, default=d.num_functions)
+    # -num_func/-num_funcs are the reference drivers' spellings
+    a("-num_functions", "-num_func", "-num_funcs", type=int,
+      default=d.num_functions)
+    # reference -include_disconnected_points: despite the name, the flag
+    # ENABLES the disconnected-row removal/renumber pass on file matrices
+    # (src/DMEM_BuildMatrix.cpp:1284-1310, default off DMEM_Main.cpp:128)
+    a("-include_disconnected_points", action="store_true")
     a("-sigma", type=float, default=d.sigma)
     a("-grading", type=float, default=d.grading)
     a("-amr_rounds", type=int, default=d.amr_rounds)
@@ -58,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-num_fine_smooth_sweeps", type=int, default=d.num_fine_smooth_sweeps)
     a("-num_coarse_smooth_sweeps", type=int, default=d.num_coarse_smooth_sweeps)
     a("-num_add_smooth_sweeps", type=int, default=d.num_add_smooth_sweeps)
+    # reference -num_smooth_sweeps: one value for pre/post/fine/coarse
+    # (src/DMEM_Main.cpp:489-497)
+    a("-num_smooth_sweeps", type=int, default=d.num_smooth_sweeps)
     a("-coarsest_mult_level", type=int, default=d.coarsest_mult_level)
     a("-num_inner_cycles", type=int, default=d.num_inner_cycles)
     a("-simple_jacobi", action="store_true")
@@ -68,7 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-setup_type", default=d.setup_type, choices=("classical", "sa"))
     a("-device_format", default=d.device_format,
       choices=("ell", "bsr", "auto"))
-    a("-cheby_power_iters", type=int, default=d.cheby_power_iters)
+    a("-cheby_power_iters", "-cheby_eig_max_iters", "-eig_power_max_iters",
+      type=int, default=d.cheby_power_iters)
     # reference spelling kept: hypre_lobpcg/slepc map onto the native
     # estimators (src/SMEM_Main.cpp:606-618)
     a("-cheby_eig", default=d.cheby_eig,
@@ -77,12 +89,27 @@ def build_parser() -> argparse.ArgumentParser:
     a("-read_type", default=d.read_type, choices=("sol", "res"))
     a("-sim_read_delay", type=int, default=d.sim_read_delay)
     a("-fire_prob", type=float, default=d.fire_prob)
+    a("-sim_grid_wait", type=int, default=d.sim_grid_wait)
+    a("-res_update_type", default=d.res_update_type,
+      choices=("recompute", "accumulate"))
     a("-async_comm_save_divisor", type=int,
       default=d.async_comm_save_divisor)
     a("-converge_test_type", default=d.converge_test_type,
       choices=("global", "local"))
     a("-delay_levels", type=int, nargs="*", default=[])
     a("-delay_prob", type=float, default=d.delay_prob)
+    # reference delay-selection flags (src/SMEM_Main.cpp:572-596): -delay_one
+    # delays the LAST worker (here: the last level group), -delay_all every
+    # group, -delay_some a random fraction; the slowdown magnitude is our
+    # -delay_prob (the reference's usec sleep has no wall-clock analog in a
+    # superstep model)
+    a("-delay_one", dest="delay_type", action="store_const", const="one",
+      default=d.delay_type)
+    a("-delay_all", dest="delay_type", action="store_const", const="all")
+    a("-delay_some", dest="delay_frac", type=float, default=d.delay_frac)
+    # -fail_one <iter>: the last level group misses exactly one firing at
+    # the given cycle (reference FAIL_ONE, src/SMEM_Solve.cpp:129-136)
+    a("-fail_one", dest="fail_iter", type=int, default=d.fail_iter)
     a("-fail_level", type=int, default=d.fail_level)
     a("-fail_start", type=int, default=d.fail_start)
     a("-fail_duration", type=int, default=d.fail_duration)
@@ -104,6 +131,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-no_grid_parallel", dest="grid_parallel", action="store_false")
     a("-comm", default=d.comm, choices=("halo", "gspmd"))
     a("-imbal", type=float, default=d.imbal)
+    a("-assign_procs", default=d.assign_procs, choices=("balanced", "scalar"))
+    a("-assign_procs_scalar", type=float, default=d.assign_procs_scalar)
     a("-only_setup", action="store_true")
     a("-only_build_matrix", action="store_true")
     a("-print_matrix", default=d.print_matrix)

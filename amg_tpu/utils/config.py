@@ -46,6 +46,10 @@ class SolverOptions:
     eps: float = 1.0
     difconv_atype: int = 0
     matrix_file: str = ""  # -mat_file
+    # enable the disconnected-row removal/renumber pass on file matrices
+    # (reference -include_disconnected_points — the flag's name is inverted
+    # relative to its behavior, src/DMEM_BuildMatrix.cpp:1284-1310)
+    include_disconnected_points: bool = False
     num_functions: int = 0  # 0 = auto (problem-dependent); >0 overrides
     sigma: float = 1.0  # maxwell conductivity
     grading: float = 2.5  # graded-mesh (AMR-analog) refinement exponent
@@ -86,6 +90,9 @@ class SolverOptions:
     num_fine_smooth_sweeps: int = 2
     num_coarse_smooth_sweeps: int = 2
     num_add_smooth_sweeps: int = 1
+    # > 0: one value for pre/post/fine/coarse sweeps (reference
+    # -num_smooth_sweeps, src/DMEM_Main.cpp:489-497)
+    num_smooth_sweeps: int = 0
     simple_jacobi: bool = False  # -simple_jacobi
     one_interpolant: bool = True  # smoothed-transfer multadd chains
     # MULT_MULTADD hybrid (reference -coarsest_mult_level,
@@ -109,6 +116,13 @@ class SolverOptions:
     read_type: str = "sol"  # sol | res
     sim_read_delay: int = 4
     fire_prob: float = 0.5
+    # > 0: wait-counter firing drawn uniform [0, sim_grid_wait] per level,
+    # the reference's SEQ_Add_Vcycle_Sim model (src/SEQ_AMG.cpp:260,482,552)
+    sim_grid_wait: int = 0
+    # async residual maintenance: "recompute" (true r = b - A x each
+    # superstep) | "accumulate" (incremental r -= A*corrections, the
+    # reference's RES_ACCUMULATE, -res_update_type src/DMEM_Main.cpp:583-590)
+    res_update_type: str = "recompute"  # recompute | accumulate
 
     # message coalescing for the grid-parallel async exchange (the
     # reference's -async_comm_save_divisor, src/DMEM_Add.cpp:375-383)
@@ -140,6 +154,15 @@ class SolverOptions:
     fail_level: int = -1
     fail_start: int = 0
     fail_duration: int = 0
+    # delay-selection policy resolved against the built hierarchy's level
+    # count in the runner (reference -delay_one/-delay_some/-delay_all,
+    # src/SMEM_Main.cpp:572-596 / src/SMEM_Solve.cpp:108-126): "one" = the
+    # last level group (the reference delays thread num_threads-1), "some" =
+    # a random delay_frac fraction, "all" = every group
+    delay_type: str = "none"  # none | one | some | all
+    delay_frac: float = 0.0  # > 0 implies delay_type "some"
+    # -fail_one <iter>: last level group misses one firing at that cycle
+    fail_iter: int = -1
 
     # rhs / init guess (reference: -rhs_* / -init_guess_*)
     rhs: str = "rand"  # rand | ones | zeros
@@ -167,6 +190,11 @@ class SolverOptions:
     # all-gather the vector (simple baseline)
     comm: str = "halo"
     imbal: float = 0.0  # artificial work-model imbalance (reference -imbal)
+    # level→device-group sizing policy (reference -assign_procs
+    # balanced|scalar + -assign_procs_scalar, src/DMEM_Main.cpp:396-425,
+    # src/DMEM_Setup.cpp:1684-1685)
+    assign_procs: str = "balanced"  # balanced | scalar
+    assign_procs_scalar: float = 0.5
     only_setup: bool = False  # reference -only_setup
     only_build_matrix: bool = False  # reference -only_build_matrix
     print_matrix: str = ""  # dump A as binary triplets to this path
@@ -218,6 +246,14 @@ class SolverOptions:
                 self.accel = "richardson"
         if self.solver in ASYNC_SOLVERS and self.solver.endswith("bpx"):
             self.read_type = "res"
+        if self.num_smooth_sweeps > 0:
+            # one sweep count for all phases (reference -num_smooth_sweeps)
+            self.num_pre_smooth_sweeps = self.num_smooth_sweeps
+            self.num_post_smooth_sweeps = self.num_smooth_sweeps
+            self.num_fine_smooth_sweeps = self.num_smooth_sweeps
+            self.num_coarse_smooth_sweeps = self.num_smooth_sweeps
+        if self.delay_frac > 0.0 and self.delay_type == "none":
+            self.delay_type = "some"
         return self
 
     def is_async(self) -> bool:

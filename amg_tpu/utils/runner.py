@@ -59,7 +59,10 @@ def build_problem(opts: SolverOptions):
     if opts.problem == "file":
         from amg_tpu.problems.io import problem_from_file
 
-        return problem_from_file(opts.matrix_file)
+        return problem_from_file(
+            opts.matrix_file,
+            remove_disconnected=opts.include_disconnected_points,
+        )
     raise ValueError(f"unknown problem {opts.problem}")
 
 
@@ -334,7 +337,9 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             # grid-mapped extended system (explicit AA, block rows sharded
             # onto assigned device groups)
             ext = build_sharded_extended_system(
-                hh, params, grid_mesh, imbalance=opts.imbal
+                hh, params, grid_mesh, imbalance=opts.imbal,
+                assign_policy=opts.assign_procs,
+                assign_scalar=opts.assign_procs_scalar,
             )
         else:
             ext = build_extended_system(hh, params, explicit=explicit)
@@ -368,16 +373,41 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             coeffs = cheby_setup(hier, cfg, num_iters=opts.cheby_power_iters,
                                  method=opts.cheby_eig)
             omega = 0.5 * 2.0 / (coeffs.alpha + coeffs.beta)
+        # resolve the reference's delay-selection policies against the
+        # built hierarchy's level count (reference: -delay_one delays thread
+        # num_threads-1, -delay_some a random fraction, -delay_all everyone;
+        # src/SMEM_Main.cpp:572-596, src/SMEM_Solve.cpp:108-126)
+        L_h = stats.num_levels
+        delay_levels = opts.delay_levels
+        if opts.delay_type == "one":
+            delay_levels = (L_h - 1,)
+        elif opts.delay_type == "all":
+            delay_levels = tuple(range(L_h))
+        elif opts.delay_type == "some":
+            rng_d = np.random.default_rng(opts.seed)
+            k_d = min(max(1, int(round(opts.delay_frac * L_h))), L_h)
+            delay_levels = tuple(
+                sorted(rng_d.choice(L_h, size=k_d, replace=False).tolist())
+            )
+        fail_level, fail_start, fail_duration = (
+            opts.fail_level, opts.fail_start, opts.fail_duration
+        )
+        if opts.fail_iter >= 0:
+            # -fail_one <iter>: the last group misses one firing there
+            fail_level, fail_start, fail_duration = L_h - 1, opts.fail_iter, 1
         acfg = AsyncConfig(
             read_type=opts.read_type,
+            res_mode=("update" if opts.res_update_type == "accumulate"
+                      else "recompute"),
             async_type=opts.async_type,
             sim_read_delay=opts.sim_read_delay,
             fire_prob=opts.fire_prob,
-            delay_levels=opts.delay_levels,
+            sim_grid_wait=opts.sim_grid_wait,
+            delay_levels=delay_levels,
             delay_prob=opts.delay_prob,
-            fail_level=opts.fail_level,
-            fail_start=opts.fail_start,
-            fail_duration=opts.fail_duration,
+            fail_level=fail_level,
+            fail_start=fail_start,
+            fail_duration=fail_duration,
             omega=omega,
             comm_every=max(opts.async_comm_save_divisor, 1),
             converge_test_type=opts.converge_test_type,
@@ -394,6 +424,8 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             _, levels_of, lscale = plan_grid_levels(
                 hh, opts.num_devices, imbalance=opts.imbal,
                 smoothed_transfers=cfg.use_smoothed_transfers,
+                assign_policy=opts.assign_procs,
+                assign_scalar=opts.assign_procs_scalar,
             )
             res = grid_parallel_solve(
                 hier, cfg, acfg, levels_of, lscale, grid_mesh, b, x0,

@@ -286,3 +286,38 @@ class TestSpsMinProb:
         assert int(r2.iters) != int(r1.iters) or not np.allclose(
             np.asarray(r1.block_updates), np.asarray(r2.block_updates)
         )
+
+
+class TestSimGridWait:
+    def test_wait_counter_firing_converges(self, setup32):
+        """sim_grid_wait > 0 switches firing to the reference's wait-counter
+        model (grid_wait_list drawn uniform [0, w], src/SEQ_AMG.cpp:260):
+        the run converges and takes a different trajectory than the
+        Bernoulli model with the same key."""
+        prob, hh, hier, b, params = setup32
+        cfg = multadd_cfg()
+        key = jax.random.PRNGKey(3)
+        base = AsyncConfig(omega=0.4, fire_prob=0.5)
+        waitm = AsyncConfig(omega=0.4, sim_grid_wait=3)
+        r1 = async_solve(hier, cfg, base, b, key=key, tol=1e-8,
+                         max_cycles=600)
+        r2 = async_solve(hier, cfg, waitm, b, key=key, tol=1e-8,
+                         max_cycles=600)
+        assert float(r2.rel_resnorm) <= 1e-8
+        assert int(r2.iters) != int(r1.iters) or not np.allclose(
+            np.asarray(r1.history[:10]), np.asarray(r2.history[:10])
+        )
+
+    def test_wait_counter_mean_period(self, setup32):
+        """With sim_grid_wait = w the mean grid-wait between a level's
+        applies matches the uniform-[0, w] redraw model (expected period
+        1 + w/2 supersteps)."""
+        prob, hh, hier, b, params = setup32
+        cfg = multadd_cfg()
+        acfg = AsyncConfig(omega=0.4, sim_grid_wait=4)
+        res = async_solve(hier, cfg, acfg, b, key=jax.random.PRNGKey(0),
+                          tol=0.0, max_cycles=300)
+        counts = np.asarray(res.grid_wait.count, dtype=float)
+        # every level fires roughly every 3 supersteps (period 1 + 4/2)
+        period = 300.0 / counts
+        assert np.all(period > 2.0) and np.all(period < 4.5)

@@ -280,3 +280,26 @@ class TestLocalConvergence:
                 hier, CFG, acfg, levels_of, scale, mesh, b,
                 tol=1e-8, max_cycles=10,
             )
+
+
+class TestGridWaitCounterParity:
+    def test_sim_grid_wait_matches_async_sim(self, setup32):
+        """Wait-counter firing (reference SEQ_Add_Vcycle_Sim grid_wait_list,
+        src/SEQ_AMG.cpp:258-261) consumes the same PRNG stream in the
+        grid-parallel solve and the simulator — iterates agree to
+        roundoff."""
+        prob, hh, hier, b = setup32
+        acfg = AsyncConfig(omega=0.7, sim_grid_wait=3, sim_read_delay=2)
+        key = jax.random.PRNGKey(11)
+        ref = async_solve(hier, CFG, acfg, b, key=key, tol=1e-8,
+                          max_cycles=150)
+        mesh = make_row_mesh(4)
+        _, levels_of, scale = plan_grid_levels(hh, 4)
+        res = grid_parallel_solve(
+            hier, CFG, acfg, levels_of, scale, mesh, b,
+            key=key, tol=1e-8, max_cycles=150,
+        )
+        assert int(res.iters) == int(ref.iters)
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.asarray(ref.x), rtol=1e-9, atol=1e-12
+        )

@@ -106,3 +106,64 @@ def test_difconv_cli_coefficient_flags():
     o = SolverOptions(**{k: (tuple(v) if isinstance(v, list) else v)
                          for k, v in vars(args).items()})
     assert o.ax == 0.5 and o.cy == 3.0 and o.cx == 1.0
+
+
+def test_num_smooth_sweeps_sets_all_phases():
+    """-num_smooth_sweeps N is the reference's one-knob spelling for all
+    sweep counts (src/DMEM_Main.cpp:489-497)."""
+    from amg_tpu.utils.config import SolverOptions
+
+    o = SolverOptions(num_smooth_sweeps=3).fixup()
+    assert (o.num_pre_smooth_sweeps, o.num_post_smooth_sweeps,
+            o.num_fine_smooth_sweeps, o.num_coarse_smooth_sweeps) == (3,) * 4
+
+
+def test_cli_reference_aliases_parse():
+    from amg_tpu.utils.cli import build_parser
+
+    args = build_parser().parse_args(
+        "-problem vardifconv -n 8 -vardifconv_eps 0.1 -num_func 2 "
+        "-cheby_eig_max_iters 7 -delay_all -fail_one 5 "
+        "-assign_procs scalar -assign_procs_scalar 0.25".split()
+    )
+    assert args.eps == 0.1
+    assert args.num_functions == 2
+    assert args.cheby_power_iters == 7
+    assert args.delay_type == "all"
+    assert args.fail_iter == 5
+    assert args.assign_procs == "scalar"
+
+
+def test_assign_procs_scalar_policy():
+    """ASSIGN_PROCS_SCALAR: geometric decay of group sizes, remainder on the
+    coarsest grid (reference: src/DMEM_Setup.cpp:1684-1685)."""
+    import numpy as np
+
+    from amg_tpu.parallel.partition import assign_levels_to_devices
+
+    work = np.full(4, 0.25)
+    ranges = assign_levels_to_devices(work, 8, policy="scalar", scalar=0.5)
+    counts = [e - s for s, e in ranges]
+    assert counts == [4, 2, 1, 1]
+    assert ranges[0] == (0, 4) and ranges[-1] == (7, 8)
+    # repair path: decay leaves devices over → coarsest absorbs them
+    ranges = assign_levels_to_devices(work, 12, policy="scalar", scalar=0.25)
+    counts = [e - s for s, e in ranges]
+    assert sum(counts) == 12 and all(c >= 1 for c in counts)
+
+
+def test_delay_some_resolution_in_runner():
+    """-delay_some frac resolves to a random fraction of level groups; the
+    delayed levels fire with -delay_prob (reference DELAY_SOME,
+    src/SMEM_Solve.cpp:116-126)."""
+    from amg_tpu.utils.config import SolverOptions
+    from amg_tpu.utils.runner import run_experiment
+
+    o = SolverOptions(problem="5pt", n=16, solver="async_multadd",
+                      delay_frac=0.5, delay_prob=0.1, num_cycles=400,
+                      print_grid_wait=True)
+    stats = run_experiment(o)
+    assert stats.rel_resnorm <= 1e-8
+    # delayed levels fire ~5x less often than the fire_prob=0.5 groups
+    counts = np.asarray(stats.grid_wait["num_correct"], dtype=float)
+    assert counts.min() < 0.45 * counts.max()
