@@ -24,7 +24,7 @@ from typing import Any, List, NamedTuple, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from amg_tpu.setup.coarsen import C_PT, COARSENING
+from amg_tpu.setup.coarsen import C_PT, COARSENING, F_PT
 from amg_tpu.setup.interp import (
     direct_interpolation,
     extended_i_interpolation,
@@ -69,6 +69,17 @@ class HierarchyParams:
     bsr_bm: int = 8
     bsr_bn: int = 8
     bsr_max_blowup: float = 40.0  # fixed-tile mode: max padded/nnz ratio
+    # aggressive coarsening on the first agg_num_levels levels: the CF split
+    # is coarsened a second time and the interpolant composed through the
+    # intermediate grid, P = P1 P2 — hypre's aggressive-coarsening +
+    # two-stage/multipass interpolation as configured by the reference's
+    # -agg_nl (HYPRE_BoomerAMGSetAggNumLevels, src/SMEM_Main.cpp:387-390,
+    # src/DMEM_Main.cpp:517-520)
+    agg_num_levels: int = 0
+    # truncation of the additive smoothed transfers (reference -add_tr →
+    # hypre add_trunc_factor / add_P_max_elmts, src/DMEM_Setup.cpp:589-593)
+    add_trunc_factor: float = 0.0
+    add_p_max_elmts: int = 0
     # setup family: "classical" (PMIS/HMIS + ext+i, the reference's hypre
     # path) or "sa" (smoothed aggregation with near-nullspace candidates —
     # required for elasticity-class problems; see setup/aggregation.py)
@@ -197,6 +208,43 @@ def build_host_hierarchy(A: CSRMatrix, params: HierarchyParams) -> HostHierarchy
             break  # coarsening stalled
         P = interp(level_A, S, cf)
         P = truncate_interpolation(P, params.trunc_factor, params.p_max_elmts)
+        if lvl < params.agg_num_levels:
+            # aggressive coarsening: coarsen the first-pass coarse grid again
+            # and compose the interpolant through it (two-stage interpolation
+            # P = P1 P2 over the Galerkin intermediate operator) — the
+            # semantics of hypre's agg_num_levels the reference requests via
+            # -agg_nl (src/SMEM_Main.cpp:387-390, src/DMEM_Main.cpp:517-520)
+            import scipy.sparse as _spa
+
+            A_mid = galerkin_product(P.transpose(), level_A, P)
+            crows1 = np.flatnonzero(cf == C_PT)
+            if params.num_functions > 1:
+                func1 = func[crows1]
+                S2 = strength_graph(A_mid, params.strong_threshold,
+                                    num_functions=1).tocoo()
+                same2 = func1[S2.row] == func1[S2.col]
+                S2 = _spa.coo_matrix(
+                    (S2.data[same2], (S2.row[same2], S2.col[same2])),
+                    shape=S2.shape,
+                ).tocsr()
+            else:
+                S2 = strength_graph(A_mid, params.strong_threshold)
+            cf2 = coarsen(S2, seed=params.seed)
+            nc2 = int((cf2 == C_PT).sum())
+            if 0 < nc2 < A_mid.n_rows:
+                P2 = interp(A_mid, S2, cf2)
+                P2 = truncate_interpolation(
+                    P2, params.trunc_factor, params.p_max_elmts
+                )
+                P = CSRMatrix.from_scipy(
+                    (P.to_scipy() @ P2.to_scipy()).tocsr()
+                )
+                # composite CF split: final C-points are the second-pass
+                # C-points mapped back to this level's rows
+                cf_comp = np.full(level_A.n_rows, F_PT, dtype=cf.dtype)
+                cf_comp[crows1[np.flatnonzero(cf2 == C_PT)]] = C_PT
+                cf = cf_comp
+                nc = nc2
         R = P.transpose()
         hl.P, hl.R, hl.cf = P, R, cf
         # injection interpolant: identity on C-points (the AFACj ideal/
@@ -241,6 +289,14 @@ def build_host_hierarchy(A: CSRMatrix, params: HierarchyParams) -> HostHierarchy
                 else np.where(level_A.diagonal() == 0.0, 1.0, level_A.diagonal())
             )
             hl.P_s, hl.R_s = smoothed_transfer(level_A, P, scale, hl.weight)
+            if params.add_trunc_factor > 0.0 or params.add_p_max_elmts > 0:
+                # truncate the (denser) additive smoothed transfers — the
+                # reference's -add_tr → hypre add_trunc_factor /
+                # add_P_max_elmts (src/DMEM_Setup.cpp:589-593)
+                P_t = truncate_interpolation(
+                    hl.P_s, params.add_trunc_factor, params.add_p_max_elmts
+                )
+                hl.P_s, hl.R_s = P_t, P_t.transpose()
         level_A = galerkin_product(R, level_A, P)
         func = func[cf == C_PT]
     return hh

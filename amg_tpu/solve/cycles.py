@@ -68,6 +68,11 @@ class CycleConfig:
     coarsest_mult_level: int = 1
     # additive cycles per coarse solve (reference -num_inner_cycles)
     num_inner_cycles: int = 2
+    # AFACj ideal-interpolant depth: a chain hop at level `lvl` targeting
+    # grid k uses the ideal interpolant only when k - lvl > afacj_level
+    # (reference -afacj_level, default 1: `my_grid - level > afacj_level`,
+    # src/DMEM_Setup.cpp:308, src/DMEM_Main.cpp:439-441)
+    afacj_level: int = 1
 
 
 def coarse_solve(hier: Hierarchy, r: jnp.ndarray) -> jnp.ndarray:
@@ -109,10 +114,6 @@ def mult_vcycle(
 
 def _chain_R(hier, cfg, lvl):
     lv = hier.levels[lvl]
-    if cfg.cycle == CycleType.AFACJ and lv.R_id is not None:
-        # AFACj runs its chains through the ideal interpolants (the hypre
-        # patch's P_array_afacj, reference: src/DMEM_Mult.cpp:498-507)
-        return lv.R_id
     if cfg.use_smoothed_transfers and lv.R_s is not None:
         return lv.R_s
     return lv.R
@@ -120,8 +121,6 @@ def _chain_R(hier, cfg, lvl):
 
 def _chain_P(hier, cfg, lvl):
     lv = hier.levels[lvl]
-    if cfg.cycle == CycleType.AFACJ and lv.P_id is not None:
-        return lv.P_id
     if cfg.use_smoothed_transfers and lv.P_s is not None:
         return lv.P_s
     return lv.P
@@ -176,16 +175,24 @@ def additive_correction(
     cyc = cfg.cycle
     if cyc == CycleType.AFACJ:
         # AFACj (reference: DMEM_SyncAFACCycle, src/DMEM_Mult.cpp:453-612):
-        # level k smooths ITS OWN chained residual; the restrict/prolong
-        # chains run through the ideal interpolants (P_array_afacj =
-        # [-D_ff^-1 A_fc; I] semantics, see setup) while the final hop into
-        # level k uses the standard R/P (the SYNC_AFACJ branch) — no AFACx
-        # re-residualization.
+        # level k smooths ITS OWN chained residual; a chain hop at level lvl
+        # runs through the ideal interpolant (P_array_afacj =
+        # [-D_ff^-1 A_fc; I] semantics, see setup) when its distance from
+        # the target grid exceeds afacj_level — the reference's
+        # `my_grid - level > afacj_level` test (src/DMEM_Setup.cpp:308);
+        # closer hops use the standard R/P. No AFACx re-residualization.
         if k == 0:
             e = _add_level_smooth(hier, cfg, 0, r)
             return e
-        rkm = _restrict_chain(hier, cfg, r, k - 1)  # ideal-interpolant chain
-        rk = hier.levels[k - 1].R @ rkm  # standard hop
+
+        def _ideal_hop(lvl):
+            lv = hier.levels[lvl]
+            return k - lvl > cfg.afacj_level and lv.R_id is not None
+
+        rk = r
+        for lvl in range(k):
+            lv = hier.levels[lvl]
+            rk = (lv.R_id if _ideal_hop(lvl) else lv.R) @ rk
         if k == L - 1:
             e = coarse_solve(hier, rk)
         else:
@@ -195,8 +202,11 @@ def additive_correction(
                 jnp.zeros_like(rk), rk,
                 num_sweeps=cfg.num_coarse_sweeps, zero_guess=True,
             )
-        c = hier.levels[k - 1].P @ e  # standard prolong hop
-        return _prolong_chain(hier, cfg, c, k - 1)
+        c = e
+        for lvl in reversed(range(k)):
+            lv = hier.levels[lvl]
+            c = (lv.P_id if _ideal_hop(lvl) else lv.P) @ c
+        return c
     if cyc in (CycleType.MULTADD, CycleType.BPX) or k == L - 1:
         rk = _restrict_chain(hier, cfg, r, k)
         if k == L - 1:

@@ -43,7 +43,8 @@ class SolveResult(NamedTuple):
         return h[~np.isnan(h)].tolist()
 
 
-def _solve_loop(hier, cfg: CycleConfig, b, x0, tol, max_cycles, accel, coeffs):
+def _solve_loop(hier, cfg: CycleConfig, b, x0, tol, max_cycles, accel,
+                coeffs, no_resnorm=False):
     A0 = hier.levels[0].A
     r0 = b - A0 @ x0
     r0norm = jnp.linalg.norm(r0)
@@ -51,6 +52,30 @@ def _solve_loop(hier, cfg: CycleConfig, b, x0, tol, max_cycles, accel, coeffs):
     hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=b.dtype)
     hist0 = hist0.at[0].set(1.0)
     cheby0 = cheby_init(b.shape[0], b.dtype)
+
+    if no_resnorm:
+        # pure-timing mode: exactly max_cycles cycles with NO per-cycle
+        # residual norm (the reference's -no_resnorm,
+        # src/DMEM_Main.cpp — used to measure cycle cost without the
+        # norm's reduction); the true norm is computed once at the end
+        def body_fixed(_, st):
+            x, ch = st
+            x_new = cycle_step(hier, cfg, x, b)
+            if accel in ("cheby", "richardson"):
+                u = x_new - x
+                ch = cheby_update(
+                    ch, u, coeffs, richardson=(accel == "richardson")
+                )
+                x_new = x + ch.d
+            return (x_new, ch)
+
+        x, _ = jax.lax.fori_loop(0, max_cycles, body_fixed, (x0, cheby0))
+        relnorm = jnp.linalg.norm(b - A0 @ x) / safe_r0
+        hist = hist0.at[max_cycles].set(relnorm)
+        return SolveResult(
+            x=x, iters=jnp.asarray(max_cycles, jnp.int32),
+            rel_resnorm=relnorm, history=hist,
+        )
 
     def cond(state):
         x, ch, it, relnorm, hist = state
@@ -87,6 +112,7 @@ def solve(
     accel: Optional[str] = None,  # None | "cheby" | "richardson"
     cheby_coeffs: Optional[ChebyCoeffs] = None,
     outer: Optional[str] = None,  # None | "pcg"
+    no_resnorm: bool = False,  # fixed max_cycles cycles, no per-cycle norm
 ) -> SolveResult:
     """Solve A x = b with the configured cycle (optionally accelerated or
     wrapped in PCG). Compiles once per (hierarchy shapes, cfg, options)."""
@@ -112,9 +138,12 @@ def solve(
         )
     fn = jax.jit(
         _solve_loop,
-        static_argnames=("cfg", "tol", "max_cycles", "accel", "coeffs"),
+        static_argnames=(
+            "cfg", "tol", "max_cycles", "accel", "coeffs", "no_resnorm"
+        ),
     )
-    return fn(hier, cfg, b, x0, tol, max_cycles, accel, cheby_coeffs)
+    return fn(hier, cfg, b, x0, tol, max_cycles, accel, cheby_coeffs,
+              no_resnorm)
 
 
 def cheby_setup(

@@ -53,6 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-Pmax", dest="p_max_elmts", type=int, default=d.p_max_elmts)
     a("-trunc", dest="trunc_factor", type=float, default=d.trunc_factor)
     a("-mxl", dest="max_levels", type=int, default=d.max_levels)
+    a("-agg_nl", type=int, default=d.agg_nl)
     a("-max_coarse", dest="max_coarse_size", type=int, default=d.max_coarse_size)
     a("-smooth_weight", type=float, default=None)
     a("-block_size", type=int, default=d.block_size)
@@ -61,6 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-smoother", default=d.smoother, choices=SMOOTHERS)
     a("-num_cycles", type=int, default=d.num_cycles)
     a("-tol", type=float, default=d.tol)
+    a("-no_resnorm", action="store_true")
     a("-num_pre_smooth_sweeps", type=int, default=d.num_pre_smooth_sweeps)
     a("-num_post_smooth_sweeps", type=int, default=d.num_post_smooth_sweeps)
     a("-num_fine_smooth_sweeps", type=int, default=d.num_fine_smooth_sweeps)
@@ -70,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     # (src/DMEM_Main.cpp:489-497)
     a("-num_smooth_sweeps", type=int, default=d.num_smooth_sweeps)
     a("-coarsest_mult_level", type=int, default=d.coarsest_mult_level)
+    a("-afacj_level", type=int, default=d.afacj_level)
+    a("-add_tr", type=float, default=d.add_tr)
     a("-num_inner_cycles", type=int, default=d.num_inner_cycles)
     a("-simple_jacobi", action="store_true")
     a("-multiple_interpolants", dest="one_interpolant", action="store_false")

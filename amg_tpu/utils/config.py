@@ -71,6 +71,9 @@ class SolverOptions:
     trunc_factor: float = 0.0
     max_levels: int = 25
     max_coarse_size: int = 64
+    # aggressive (two-pass) coarsening on the first N levels (reference
+    # -agg_nl → HYPRE_BoomerAMGSetAggNumLevels, src/DMEM_Main.cpp:517-520)
+    agg_nl: int = 0
     smooth_weight: Optional[float] = None
     block_size: int = 128
     seed: int = 0
@@ -85,6 +88,9 @@ class SolverOptions:
     smoother: str = "l1_jacobi"
     num_cycles: int = 200
     tol: float = 1e-8
+    # run exactly num_cycles cycles with no per-cycle residual norm — the
+    # reference's pure cycle-timing mode (-no_resnorm)
+    no_resnorm: bool = False
     num_pre_smooth_sweeps: int = 1
     num_post_smooth_sweeps: int = 1
     num_fine_smooth_sweeps: int = 2
@@ -99,6 +105,11 @@ class SolverOptions:
     # -num_inner_cycles): multiplicative above the level, multadd below
     coarsest_mult_level: int = 1
     num_inner_cycles: int = 2
+    # AFACj ideal-interpolant depth (reference -afacj_level, default 1)
+    afacj_level: int = 1
+    # truncation of the additive smoothed transfers P~ (reference -add_tr →
+    # hypre add_trunc_factor, src/DMEM_Main.cpp:529-531)
+    add_tr: float = 0.0
 
     # acceleration / outer (reference: -cheby, -richard, -outer_solver pcg);
     # ams_pcg = PCG with the auxiliary-space (Hiptmair/AMS) preconditioner

@@ -199,13 +199,27 @@ def _additive_level_plan(hier, cfg, k):
         return [("smooth", 0, jax.jit(
             lambda r: _add_level_smooth(hier, cfg, 0, r)), ("r",), "c")]
     if cyc == CycleType.AFACJ:
-        lvm = hier.levels[k - 1]
-        steps = [
-            ("restrict", k, jax.jit(
-                lambda r: _restrict_chain(hier, cfg, r, k - 1)), ("r",),
-             "rkm"),
-            ("restrict", k, jax.jit(lambda rkm: lvm.R @ rkm), ("rkm",), "rk"),
-        ]
+        # hop-conditional ideal-interpolant chains, mirroring
+        # solve.cycles.additive_correction's AFACJ branch (-afacj_level)
+        def _ideal_hop(lvl, k=k):
+            lv = hier.levels[lvl]
+            return k - lvl > cfg.afacj_level and lv.R_id is not None
+
+        def _rchain(r, k=k):
+            rk = r
+            for lvl in range(k):
+                lv = hier.levels[lvl]
+                rk = (lv.R_id if _ideal_hop(lvl) else lv.R) @ rk
+            return rk
+
+        def _pchain(e, k=k):
+            c = e
+            for lvl in reversed(range(k)):
+                lv = hier.levels[lvl]
+                c = (lv.P_id if _ideal_hop(lvl) else lv.P) @ c
+            return c
+
+        steps = [("restrict", k, jax.jit(_rchain), ("r",), "rk")]
         if k == L - 1:
             steps.append(("coarse", k, jax.jit(
                 lambda rk: coarse_solve(hier, rk)), ("rk",), "e"))
@@ -216,12 +230,7 @@ def _additive_level_plan(hier, cfg, k):
                     lv.A, lv.sm, cfg.smoother, jnp.zeros_like(rk), rk,
                     num_sweeps=cfg.num_coarse_sweeps, zero_guess=True,
                 )), ("rk",), "e"))
-        steps += [
-            ("prolong", k, jax.jit(lambda e: lvm.P @ e), ("e",), "ck"),
-            ("prolong", k, jax.jit(
-                lambda ck: _prolong_chain(hier, cfg, ck, k - 1)), ("ck",),
-             "c"),
-        ]
+        steps.append(("prolong", k, jax.jit(_pchain), ("e",), "c"))
         return steps
     if cyc in (CycleType.MULTADD, CycleType.BPX) or k == L - 1:
         steps = [("restrict", k, jax.jit(

@@ -124,6 +124,8 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         p_max_elmts=opts.p_max_elmts,
         max_levels=opts.max_levels,
         max_coarse_size=opts.max_coarse_size,
+        agg_num_levels=opts.agg_nl,
+        add_trunc_factor=opts.add_tr,
         seed=opts.seed,
         smoother=smoother,
         smooth_weight=opts.smooth_weight,
@@ -260,6 +262,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         simple_add_smoother=opts.simple_jacobi,
         coarsest_mult_level=opts.coarsest_mult_level,
         num_inner_cycles=opts.num_inner_cycles,
+        afacj_level=opts.afacj_level,
     )
 
     if opts.solver == "async_smooth":
@@ -488,6 +491,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             hier, cfg, b, x0, tol=opts.tol, max_cycles=opts.num_cycles,
             accel=accel, cheby_coeffs=coeffs,
             outer=None if opts.outer_solver == "none" else opts.outer_solver,
+            no_resnorm=opts.no_resnorm,
         )
         gw = None
     jax.block_until_ready(res.x)

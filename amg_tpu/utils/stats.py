@@ -46,6 +46,10 @@ class SolveStats:
 
     def convergence_factor(self) -> float:
         h = self.history
+        if len(h) == 2 and self.cycles > 0:
+            # no_resnorm mode records only (start, final): geometric mean
+            # over the actual cycle count
+            return (h[-1] / max(h[0], 1e-300)) ** (1.0 / self.cycles)
         if len(h) < 3:
             return 0.0
         return (h[-1] / h[1]) ** (1.0 / (len(h) - 2))

@@ -91,3 +91,71 @@ def test_afacj_defaults_cli():
         SolverOptions(problem="5pt", n=24, solver="async_afacx")
     )
     assert st.rel_resnorm <= 1e-8
+
+
+def test_afacj_level_depth_knob():
+    """-afacj_level controls how far from the target grid chain hops switch
+    to the ideal interpolant (reference: `my_grid - level > afacj_level`,
+    src/DMEM_Setup.cpp:308). A large depth makes AFACj's chains all-standard;
+    both settings converge, with different trajectories on deep grids."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amg_tpu.problems import laplacian_2d_5pt
+    from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+    from amg_tpu.smooth import SmootherType
+    from amg_tpu.solve import CycleConfig, CycleType, solve
+
+    prob = laplacian_2d_5pt(32)
+    params = HierarchyParams(smoother=SmootherType.L1_JACOBI,
+                             max_coarse_size=16)
+    hh, hier = build_hierarchy(prob.A, params)
+    assert hh.num_levels >= 4
+    b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+    from amg_tpu.solve.driver import cheby_setup
+
+    out = {}
+    for depth in (1, 99):
+        cfg = CycleConfig(cycle=CycleType.AFACJ,
+                          smoother=SmootherType.L1_JACOBI,
+                          afacj_level=depth)
+        coeffs = cheby_setup(hier, cfg)
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=400, accel="cheby",
+                    cheby_coeffs=coeffs)
+        assert float(res.rel_resnorm) <= 1e-8, depth
+        out[depth] = np.asarray(res.history)
+    h1, h99 = out[1], out[99]
+    m = min(len(h1), len(h99))
+    assert not np.allclose(h1[:m][~np.isnan(h1[:m])][:5],
+                           h99[:m][~np.isnan(h99[:m])][:5])
+
+
+def test_add_tr_truncates_smoothed_transfers():
+    """-add_tr sparsifies the additive smoothed transfers (hypre
+    add_trunc_factor, src/DMEM_Setup.cpp:589-593) while multadd still
+    converges."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amg_tpu.problems import laplacian_2d_5pt
+    from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+    from amg_tpu.smooth import SmootherType
+    from amg_tpu.solve import CycleConfig, CycleType, solve
+
+    prob = laplacian_2d_5pt(32)
+    dense = HierarchyParams(smoother=SmootherType.L1_JACOBI)
+    trunc = HierarchyParams(smoother=SmootherType.L1_JACOBI,
+                            add_trunc_factor=0.2)
+    hh0, _ = build_hierarchy(prob.A, dense)
+    hh1, hier1 = build_hierarchy(prob.A, trunc)
+    assert hh1.levels[0].P_s.nnz < hh0.levels[0].P_s.nnz
+    b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+    from amg_tpu.solve.driver import cheby_setup
+
+    cfg = CycleConfig(cycle=CycleType.MULTADD,
+                      smoother=SmootherType.L1_JACOBI,
+                      use_smoothed_transfers=True)
+    coeffs = cheby_setup(hier1, cfg)
+    res = solve(hier1, cfg, b, tol=1e-8, max_cycles=200, accel="cheby",
+                cheby_coeffs=coeffs)
+    assert float(res.rel_resnorm) <= 1e-8

@@ -199,3 +199,45 @@ class TestHmisExact:
         ))
         assert st.rel_resnorm <= 1e-8
         assert st.cycles <= 25
+
+
+class TestAggressiveCoarsening:
+    def test_agg_nl_coarsens_faster_and_solves(self):
+        """agg_num_levels=1: the first level's CF split is two-pass coarsened
+        (hypre SetAggNumLevels via the reference's -agg_nl); the composed
+        two-stage interpolant still yields a convergent MULT hierarchy."""
+        import jax.numpy as jnp
+
+        from amg_tpu.problems import laplacian_2d_5pt
+        from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+        from amg_tpu.smooth import SmootherType
+        from amg_tpu.solve import CycleConfig, CycleType, solve
+
+        prob = laplacian_2d_5pt(32)
+        base = HierarchyParams(smoother=SmootherType.L1_JACOBI)
+        agg = HierarchyParams(smoother=SmootherType.L1_JACOBI,
+                              agg_num_levels=1)
+        hh0, hier0 = build_hierarchy(prob.A, base)
+        hh1, hier1 = build_hierarchy(prob.A, agg)
+        n1_base = hh0.levels[1].A.n_rows
+        n1_agg = hh1.levels[1].A.n_rows
+        # the second pass coarsens the first coarse grid again
+        assert n1_agg < 0.6 * n1_base
+        # Galerkin consistency of the composed P: A1 = P^T A0 P
+        P = hh1.levels[0].P.to_scipy()
+        A0 = hh1.levels[0].A.to_scipy()
+        A1 = hh1.levels[1].A.to_scipy()
+        import numpy as np
+
+        np.testing.assert_allclose(
+            (P.T @ A0 @ P).toarray(), A1.toarray(), rtol=1e-12, atol=1e-12
+        )
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        cfg = CycleConfig(cycle=CycleType.MULT,
+                          smoother=SmootherType.L1_JACOBI)
+        res = solve(hier1, cfg, b, tol=1e-8, max_cycles=60)
+        assert float(res.rel_resnorm) <= 1e-8
+        # aggressive coarsening trades convergence speed for grid complexity:
+        # cycles grow, but boundedly
+        res0 = solve(hier0, cfg, b, tol=1e-8, max_cycles=60)
+        assert int(res.iters) <= 3 * int(res0.iters)

@@ -257,3 +257,30 @@ class TestMultMultadd:
             coarsest_mult_level=1, num_inner_cycles=2,
         ))
         assert st.rel_resnorm <= 1e-8
+
+
+def test_no_resnorm_fixed_cycles():
+    """-no_resnorm runs exactly num_cycles cycles without per-cycle norms
+    (the reference's pure cycle-timing mode); the final iterate matches the
+    norm-checked loop run for the same count."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amg_tpu.problems import laplacian_2d_5pt
+    from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+    from amg_tpu.smooth import SmootherType
+    from amg_tpu.solve import CycleConfig, CycleType, solve
+
+    prob = laplacian_2d_5pt(16)
+    hh, hier = build_hierarchy(
+        prob.A, HierarchyParams(smoother=SmootherType.L1_JACOBI)
+    )
+    b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+    cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI)
+    fixed = solve(hier, cfg, b, tol=0.0, max_cycles=7, no_resnorm=True)
+    ref = solve(hier, cfg, b, tol=0.0, max_cycles=7)
+    assert int(fixed.iters) == 7
+    np.testing.assert_allclose(np.asarray(fixed.x), np.asarray(ref.x),
+                               rtol=1e-14, atol=1e-14)
+    h = np.asarray(fixed.history)
+    assert np.isnan(h[1:7]).all() and not np.isnan(h[7])
