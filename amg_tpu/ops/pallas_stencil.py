@@ -79,21 +79,25 @@ def _uniform_box_weights(taps):
     return w_off, offs[(0, 0, 0)]
 
 
-def _sweep2_kernel(
-    u_hbm, b_hbm, *rest, box, dims, T, G, alpha, use_scale,
+def _sweepk_kernel(
+    u_hbm, b_hbm, *rest, box, dims, T, G, alpha, use_scale, nsweep,
 ):
-    """TWO fused weighted-Jacobi sweeps per launch (27-pt box stencils):
+    """`nsweep` fused weighted-Jacobi sweeps per launch (27-pt box stencils):
 
-        u'  = u  + scale * (b - A u)     on rows [gT-1, gT+T+1)
-        u'' = u' + scale * (b - A u')    on rows [gT,   gT+T)
+        u^{s+1} = u^s + scale * (b - A u^s)   s = 0 .. nsweep-1
 
-    One launch streams u once, b (and scale when use_scale) once, writes
-    u'' once — ~half the HBM passes per sweep and half the kernel launches.
-    The overlap rows of u' are recomputed per slab (reach-2 input halo), so
-    u'' is bit-identical to two single sweeps (tested in interpret mode).
-    use_scale=False applies the scalar `alpha` weight instead of a streamed
-    per-point scale (saves the third HBM stream + its VMEM buffers).
+    computed on a shrinking row window per stage (stage s writes rows
+    [gT-(nsweep-1-s), gT+T+(nsweep-1-s)); the final stage writes exactly the
+    slab). One launch streams u once, b (and scale when use_scale) once,
+    writes u^{nsweep} once — HBM passes per sweep drop from 3 toward
+    (2 + 2·(2·nsweep-1)/T)/nsweep as nsweep grows. The overlap rows of the
+    intermediate sweeps are recomputed per slab (reach-`nsweep` input halo),
+    so the result is bit-identical to `nsweep` single sweeps (tested in
+    interpret mode). use_scale=False applies the scalar `alpha` weight
+    instead of a streamed per-point scale (saves the third HBM stream).
+    Intermediate iterates ping-pong through a 2-deep VMEM scratch.
     """
+    K = nsweep
     if use_scale:
         (scale_hbm, out_ref, bufs, bbufs, sbufs, mid_ref, acc_ref,
          sem) = rest
@@ -105,7 +109,7 @@ def _sweep2_kernel(
     Z, Y, X = dims
     w_off, w_c = box
 
-    # manual DMAs: u rows [gT-2, gT+T+2), b/scale rows [gT-1, gT+T+1),
+    # manual DMAs: u rows [gT-K, gT+T+K), b/scale rows [gT-K+1, gT+T+K-1),
     # double-buffered across iterations; edge slabs zero-fill out-of-range
     # rows (they are zero-shell rows anyway)
     def dma(j, k, hbm, buf, halo, sem_slot):
@@ -116,9 +120,9 @@ def _sweep2_kernel(
             sem.at[k, jnp.int32(sem_slot)],
         )
 
-    streams = [(u_hbm, None, 2, 0), (b_hbm, None, 1, 1)]
+    streams = [(u_hbm, None, K, 0), (b_hbm, None, K - 1, 1)]
     if use_scale:
-        streams.append((scale_hbm, None, 1, 2))
+        streams.append((scale_hbm, None, K - 1, 2))
 
     def bufs_of(slot):
         return (bufs, bbufs, sbufs)[slot]
@@ -126,18 +130,24 @@ def _sweep2_kernel(
     def edge_fill(j, k):
         @pl.when(j == 0)
         def _():
-            bufs[k, 0:2, :, :] = jnp.zeros((2, Yr, Xr), bufs.dtype)
-            bbufs[k, 0:1, :, :] = jnp.zeros((1, Yr, Xr), bbufs.dtype)
+            bufs[k, 0:K, :, :] = jnp.zeros((K, Yr, Xr), bufs.dtype)
+            bbufs[k, 0 : K - 1, :, :] = jnp.zeros((K - 1, Yr, Xr), bbufs.dtype)
             if use_scale:
-                sbufs[k, 0:1, :, :] = jnp.zeros((1, Yr, Xr), sbufs.dtype)
+                sbufs[k, 0 : K - 1, :, :] = jnp.zeros(
+                    (K - 1, Yr, Xr), sbufs.dtype
+                )
 
         @pl.when(j == G - 1)
         def _():
-            bufs[k, T + 2 : T + 4, :, :] = jnp.zeros((2, Yr, Xr), bufs.dtype)
-            bbufs[k, T + 1 : T + 2, :, :] = jnp.zeros((1, Yr, Xr), bbufs.dtype)
+            bufs[k, T + K : T + 2 * K, :, :] = jnp.zeros(
+                (K, Yr, Xr), bufs.dtype
+            )
+            bbufs[k, T + K - 1 : T + 2 * K - 2, :, :] = jnp.zeros(
+                (K - 1, Yr, Xr), bbufs.dtype
+            )
             if use_scale:
-                sbufs[k, T + 1 : T + 2, :, :] = jnp.zeros(
-                    (1, Yr, Xr), sbufs.dtype
+                sbufs[k, T + K - 1 : T + 2 * K - 2, :, :] = jnp.zeros(
+                    (K - 1, Yr, Xr), sbufs.dtype
                 )
 
     def edge_copy(j, k, hbm, slot, halo):
@@ -199,16 +209,19 @@ def _sweep2_kernel(
     def roll_x(a, dx):
         return pltpu.roll(a, jnp.int32((-dx) % Xr), 2)
 
-    def box_apply(src_ref, rows):
-        """(w_c - w_off)*center + w_off*boxsum over src rows [0, rows+2)."""
+    def box_apply(src_ref, lo, rows):
+        """(w_c - w_off)*center + w_off*boxsum over src rows [lo, lo+rows+2);
+        returns `rows` output rows (for src rows [lo+1, lo+rows+1))."""
         t = (
-            src_ref[0:rows, :, :]
-            + src_ref[1 : rows + 1, :, :]
-            + src_ref[2 : rows + 2, :, :]
+            src_ref[lo : lo + rows, :, :]
+            + src_ref[lo + 1 : lo + rows + 1, :, :]
+            + src_ref[lo + 2 : lo + rows + 2, :, :]
         )
         t = t + roll_y(t, -1) + roll_y(t, 1)
         t = t + roll_x(t, -1) + roll_x(t, 1)
-        return w_off * t + (w_c - w_off) * src_ref[1 : rows + 1, :, :]
+        return w_off * t + (w_c - w_off) * src_ref[
+            lo + 1 : lo + rows + 1, :, :
+        ]
 
     def interior_mask(rows, zbase):
         zi = jax.lax.broadcasted_iota(jnp.int32, (rows, Yr, Xr), 0) + zbase
@@ -219,26 +232,38 @@ def _sweep2_kernel(
             & (xi >= 1) & (xi <= X)
         )
 
-    s1 = sbufs[k_cur] if use_scale else alpha
-    s2 = sbufs[k_cur, 1 : T + 1, :, :] if use_scale else alpha
-    # sweep 1 on rows [gT-1, gT+T+1): mid_ref = u' (T+2 rows)
-    acc1 = box_apply(u, T + 2)
-    m1 = interior_mask(T + 2, g * T - 1)
-    mid_ref[...] = jnp.where(
-        m1,
-        u[1 : T + 3, :, :] + s1 * (bbufs[k_cur] - acc1),
-        0.0,
-    )
-    # sweep 2 on rows [gT, gT+T) from u'
-    acc2 = box_apply(mid_ref, T)
-    acc_ref[...] = acc2
-    m2 = interior_mask(T, g * T)
-    out_ref[...] = jnp.where(
-        m2,
-        mid_ref[1 : T + 1, :, :]
-        + s2 * (bbufs[k_cur, 1 : T + 1, :, :] - acc_ref[...]),
-        0.0,
-    )
+    # stage s: input = u^s on rows [gT-(K-s), gT+T+(K-s)) (relative row 0 of
+    # its buffer), output = u^{s+1} on rows [gT-(K-1-s), gT+T+(K-1-s)).
+    # b/scale buffers hold rows [gT-(K-1), gT+T+(K-1)): the output row at
+    # global z = gT-(K-1-s)+r maps to b row r+s.
+    src = u  # stage-0 source ref (row 0 = gT-K)
+    src_lo = 0
+    for s in range(K):
+        rows = T + 2 * (K - 1 - s)
+        zbase = g * T - (K - 1 - s)
+        acc = box_apply(src, src_lo, rows)
+        if use_scale:
+            sc = sbufs[k_cur, s : s + rows, :, :]
+        else:
+            sc = alpha
+        val = jnp.where(
+            interior_mask(rows, zbase),
+            src[src_lo + 1 : src_lo + 1 + rows, :, :]
+            + sc * (bbufs[k_cur, s : s + rows, :, :] - acc),
+            0.0,
+        )
+        if s == K - 1:
+            out_ref[...] = val
+        elif s == K - 2:
+            # round-trip the last intermediate through acc_ref to bound the
+            # number of live slab temporaries (Mosaic scoped-VMEM accounting)
+            acc_ref[0:rows, :, :] = val
+            src = acc_ref
+            src_lo = 0
+        else:
+            mid_ref[s % 2, 0:rows, :, :] = val
+            src = mid_ref.at[s % 2]
+            src_lo = 0
 
 
 def _sweep_kernel(
@@ -479,30 +504,42 @@ def _stencil_kernel_impl(
         (int(o[0]), int(o[1]), int(o[2]), float(w))
         for o, w in zip(offsets, weights)
     )
-    if mode in ("sweep2", "sweep2_vec"):
-        use_scale = mode == "sweep2_vec"
+    if mode.startswith("sweep2") or mode.startswith("sweep3") or (
+        mode.startswith("sweep4")
+    ):
+        K = int(mode[5])
+        use_scale = mode.endswith("_vec")
         box = _uniform_box_weights(taps)
-        assert box is not None, "sweep2 modes need the uniform 27-pt box"
-        assert G >= 2, "sweep2 modes need >= 2 z-slabs"
-        kernel2 = functools.partial(
-            _sweep2_kernel, box=box, dims=(Z, Y, X), T=T, G=G, alpha=alpha,
-            use_scale=use_scale,
+        assert box is not None, "sweepK modes need the uniform 27-pt box"
+        assert G >= 2, "sweepK modes need >= 2 z-slabs"
+        assert T >= K, "sweepK modes need slab >= K (reach-K input halo)"
+        kernelk = functools.partial(
+            _sweepk_kernel, box=box, dims=(Z, Y, X), T=T, G=G, alpha=alpha,
+            use_scale=use_scale, nsweep=K,
         )
         hbm = pl.BlockSpec(memory_space=pltpu.HBM)
         scratch = [
-            pltpu.VMEM((2, T + 4, Yr, Xr), u_pad.dtype),
-            pltpu.VMEM((2, T + 2, Yr, Xr), u_pad.dtype),
+            pltpu.VMEM((2, T + 2 * K, Yr, Xr), u_pad.dtype),       # u
+            pltpu.VMEM((2, T + 2 * K - 2, Yr, Xr), u_pad.dtype),   # b
         ]
         if use_scale:
-            scratch.append(pltpu.VMEM((2, T + 2, Yr, Xr), u_pad.dtype))
+            scratch.append(
+                pltpu.VMEM((2, T + 2 * K - 2, Yr, Xr), u_pad.dtype)
+            )
+        # mid ping-pong holds intermediate iterates for stages 0..K-3; the
+        # K-2'th intermediate round-trips through acc_ref (K=2 needs no mid)
+        if K >= 3:
+            mid_shape = (2 if K >= 4 else 1, T + 2 * (K - 1), Yr, Xr)
+        else:
+            mid_shape = (1, 8, LANE)  # unused placeholder
         scratch += [
-            pltpu.VMEM((T + 2, Yr, Xr), u_pad.dtype),
-            pltpu.VMEM((T, Yr, Xr), u_pad.dtype),
+            pltpu.VMEM(mid_shape, u_pad.dtype),
+            pltpu.VMEM((T + 2, Yr, Xr), u_pad.dtype),              # acc
             pltpu.SemaphoreType.DMA((2, 3)),
         ]
         args = [u_pad, b_pad] + ([scale_pad] if use_scale else [])
         return pl.pallas_call(
-            kernel2,
+            kernelk,
             out_shape=jax.ShapeDtypeStruct((Zr, Yr, Xr), u_pad.dtype),
             grid=(G,),
             in_specs=[hbm] * len(args),

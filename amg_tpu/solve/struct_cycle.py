@@ -37,20 +37,53 @@ class StructKernelSpec(NamedTuple):
     offsets: tuple
     grid_shape: tuple
     slab: int
+    alpha: float  # constant smoother scale (0.0 = non-constant, use vec)
     scale_pad: jnp.ndarray  # inv_wscale in padded layout ("sweep_vec")
 
 
 def make_struct_spec(hier: Hierarchy, slab: int = 8) -> StructKernelSpec:
     A0 = hier.levels[0].A
     assert isinstance(A0, StencilOperator), "fine level must be a stencil"
-    inv_wscale = hier.levels[0].sm.inv_wscale
+    inv_wscale = np.asarray(hier.levels[0].sm.inv_wscale)
+    # constant-scale detection: wJacobi on a constant-diagonal stencil has a
+    # single scalar weight (the reference's production DMEM smoother shape:
+    # w = 1/lambda_max scalar, src/DMEM_Setup.cpp:77-87). The scalar fused
+    # kernels skip the third HBM stream and admit deeper sweep fusion.
+    alpha = (
+        float(inv_wscale[0])
+        if inv_wscale.size and np.all(inv_wscale == inv_wscale[0])
+        else 0.0
+    )
     return StructKernelSpec(
         weights=tuple(float(w) for w in np.asarray(A0.weights)),
         offsets=A0.offsets,
         grid_shape=A0.grid_shape,
         slab=slab,
-        scale_pad=to_padded(inv_wscale, A0.grid_shape, slab),
+        alpha=alpha,
+        scale_pad=to_padded(
+            jnp.asarray(hier.levels[0].sm.inv_wscale), A0.grid_shape, slab
+        ),
     )
+
+
+# fused k-sweep configs known to fit VMEM on current TPUs (measured): the
+# scalar kernels compile up to (k=3, slab=6); the vec kernels (third HBM
+# stream) only up to (k<=3, slab=4). Single sweeps compile at any slab.
+_FUSED_SCALAR = {(2, 4), (2, 6), (3, 4), (3, 6), (4, 4)}
+_FUSED_VEC = {(2, 4), (3, 4)}
+
+
+def pick_struct_slab(cfg: CycleConfig, scalar_scale: bool) -> int:
+    """Slab for the struct path: 8 for single-sweep cycles (least halo
+    amplification); 6/4 when multi-sweep fusion is available and wanted."""
+    ns = max(cfg.num_pre_sweeps, cfg.num_post_sweeps)
+    if ns <= 1:
+        return 8
+    return 6 if scalar_scale else 4
+
+
+def _is_box27(spec) -> bool:
+    return len(spec.offsets) == 27
 
 
 def _fine(spec, mode, u_pad, b_pad):
@@ -61,14 +94,49 @@ def _fine(spec, mode, u_pad, b_pad):
     )
 
 
+def _fine_sweeps(spec, u_pad, b_pad, n: int):
+    """n fused smoother sweeps on the fine level: greedily chains the
+    deepest compiling fused k-sweep kernel (identical numerics to n single
+    sweeps — reach-k halo recompute, tested bit-exact)."""
+    scalar = spec.alpha != 0.0
+    table = _FUSED_SCALAR if scalar else _FUSED_VEC
+    left = n
+    while left > 0:
+        k = 1
+        if _is_box27(spec):
+            for cand in (4, 3, 2):
+                if cand <= left and (cand, spec.slab) in table:
+                    k = cand
+                    break
+        if k == 1:
+            u_pad = (
+                stencil_kernel_padded(
+                    u_pad, b_pad, spec.weights, spec.grid_shape,
+                    spec.offsets, alpha=spec.alpha, scale_pad=None,
+                    mode="sweep", slab=spec.slab,
+                )
+                if scalar
+                else _fine(spec, "sweep_vec", u_pad, b_pad)
+            )
+        else:
+            u_pad = stencil_kernel_padded(
+                u_pad, b_pad, spec.weights, spec.grid_shape, spec.offsets,
+                alpha=spec.alpha,
+                scale_pad=(None if scalar else spec.scale_pad),
+                mode=f"sweep{k}" + ("" if scalar else "_vec"),
+                slab=spec.slab,
+            )
+        left -= k
+    return u_pad
+
+
 def struct_vcycle(
     hier: Hierarchy, cfg: CycleConfig, spec: StructKernelSpec,
     x_pad: jnp.ndarray, b_pad: jnp.ndarray,
 ) -> jnp.ndarray:
     """One V-cycle with fused fine-level ops; x/b in padded layout."""
     lv0 = hier.levels[0]
-    for _ in range(cfg.num_pre_sweeps):
-        x_pad = _fine(spec, "sweep_vec", x_pad, b_pad)
+    x_pad = _fine_sweeps(spec, x_pad, b_pad, cfg.num_pre_sweeps)
     r_pad = _fine(spec, "residual", x_pad, b_pad)
     rc = lv0.R @ from_padded(r_pad, spec.grid_shape)
     if hier.num_levels == 2:
@@ -78,8 +146,7 @@ def struct_vcycle(
         ec = mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
     e_pad = to_padded(lv0.P @ ec, spec.grid_shape, spec.slab)
     x_pad = x_pad + e_pad
-    for _ in range(cfg.num_post_sweeps):
-        x_pad = _fine(spec, "sweep_vec", x_pad, b_pad)
+    x_pad = _fine_sweeps(spec, x_pad, b_pad, cfg.num_post_sweeps)
     return x_pad
 
 
@@ -104,9 +171,16 @@ def struct_solve(
     x0: Optional[jnp.ndarray] = None,
     tol: float = 1e-8,
     max_cycles: int = 100,
-    slab: int = 8,
+    slab: Optional[int] = None,
 ) -> StructSolveResult:
-    """Full solve through the fused structured cycle (one jitted while_loop)."""
+    """Full solve through the fused structured cycle (one jitted while_loop).
+
+    slab=None picks the layout automatically: 8 for single-sweep cycles,
+    6/4 when multi-sweep fusion applies (see pick_struct_slab)."""
+    if slab is None:
+        probe = np.asarray(hier.levels[0].sm.inv_wscale)
+        scalar = bool(probe.size) and bool(np.all(probe == probe[0]))
+        slab = pick_struct_slab(cfg, scalar)
     spec = make_struct_spec(hier, slab)
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -114,7 +188,9 @@ def struct_solve(
         _loop, static_argnames=("cfg", "spec_static", "tol", "max_cycles")
     )
     # split spec into static metadata + the device array
-    spec_static = (spec.weights, spec.offsets, spec.grid_shape, spec.slab)
+    spec_static = (
+        spec.weights, spec.offsets, spec.grid_shape, spec.slab, spec.alpha,
+    )
     return fn(hier, cfg, spec_static, spec.scale_pad, b, x0, tol, max_cycles)
 
 
@@ -135,8 +211,7 @@ def _presweep_norm(spec, cfg, x_pad, b_pad):
         alpha=0.0, scale_pad=spec.scale_pad, mode="sweep_vec_norm",
         slab=spec.slab,
     )
-    for _ in range(cfg.num_pre_sweeps - 1):
-        y_pad = _fine(spec, "sweep_vec", y_pad, b_pad)
+    y_pad = _fine_sweeps(spec, y_pad, b_pad, cfg.num_pre_sweeps - 1)
     return y_pad, jnp.sqrt(jnp.sum(parts))
 
 
@@ -146,10 +221,10 @@ def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
     whose fused norm IS ||r(x_k)|| — one fewer fine-grid pass per cycle
     than monitoring with a separate residual, with iterates identical to
     mult_vcycle (the discarded trailing pre-sweep never enters x)."""
-    weights, offsets, grid_shape, slab = spec_static
+    weights, offsets, grid_shape, slab, alpha = spec_static
     spec = StructKernelSpec(
         weights=weights, offsets=offsets, grid_shape=grid_shape, slab=slab,
-        scale_pad=scale_pad,
+        alpha=alpha, scale_pad=scale_pad,
     )
     lv0 = hier.levels[0]
     b_pad = to_padded(b, grid_shape, slab)
@@ -171,9 +246,7 @@ def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
             )
             ec = mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
         y_pad = y_pad + to_padded(lv0.P @ ec, grid_shape, slab)
-        for _ in range(cfg.num_post_sweeps):
-            y_pad = _fine(spec, "sweep_vec", y_pad, b_pad)
-        return y_pad
+        return _fine_sweeps(spec, y_pad, b_pad, cfg.num_post_sweeps)
 
     def body(state):
         x_cyc, y_pad, k, relnorm, hist = state

@@ -1,25 +1,28 @@
 """Benchmark: SpMV+smoother nnz/s per chip on the 3D 27-pt Laplacian.
 
 The north-star metric of BASELINE.md: sustained nnz/s for the fused
-SpMV+smoother kernel (the production weighted-Jacobi smoother, which runs
-its two sweeps FUSED in one Pallas launch on TPU — mode "sweep2" of
-amg_tpu/ops/pallas_stencil.py: u and b stream once, two sweeps apply, so
-per-sweep HBM traffic is ~half of a standalone sweep). The XLA shifted-
-slice path is used on CPU.
+SpMV+smoother kernel — the production weighted-Jacobi relaxation, which the
+struct solve path runs as FUSED k-sweep Pallas launches (mode "sweep3" of
+amg_tpu/ops/pallas_stencil.py at slab 6: u and b stream once per THREE
+sweeps, intermediate iterates ping-pong through VMEM with reach-3 halo
+recompute; amg_tpu/solve/struct_cycle.py::_fine_sweeps dispatches the same
+kernel whenever the cycle smooths >= 2 sweeps, and the scalar weight is the
+reference's own production smoother shape — optimal scalar wJacobi,
+src/DMEM_Setup.cpp:77-87). The XLA shifted-slice path is used on CPU.
 
 vs_baseline reports nnz/s against the SINGLE-sweep 3-pass HBM roofline
 (read u, read b, write u' at full bandwidth) — the speed-of-light yardstick
 for an unfused sweep (the reference publishes no numbers; BASELINE.json
-"published": {}). Values ABOVE 1.0 mean the fused double sweep beats what a
-perfect unfused sweep could ever do (measured 1.18x on v5e; the fused
-pair's own traffic bound is ~2x).
+"published": {}). Values ABOVE 1.0 mean the fused sweeps beat what a
+perfect unfused sweep could ever do (measured ~1.5x on v5e; the fused
+triple's own traffic bound is ~2.25x at slab 6).
 
 Timing is the marginal cost per sweep ((t[N1] - t[N0]) / (N1 - N0) over
 chained dependent launches, result materialized) — immune to async-dispatch
 and host-relay overhead artifacts.
 
 The driver parses the LAST JSON line; auxiliary metrics (V-cycle wall time,
-single-sweep rate, BSR unstructured SpMV) print first.
+single-sweep and fused-pair rates, BSR unstructured SpMV) print first.
 Set AMG_BENCH_SMOKE=1 for a tiny CPU smoke run.
 """
 
@@ -60,17 +63,24 @@ def main():
     if on_tpu:
         import amg_tpu.ops.pallas_stencil as ps
 
-        slab = 4  # sweep2's reach-2 halos fit VMEM at T=4
+        slab = 6  # deepest-compiling scalar fused config is (k=3, slab=6)
         gs = prob.stencil.grid_shape
         up = ps.to_padded(jnp.asarray(rng.random(n), dtype), gs, slab)
         bp = ps.to_padded(jnp.asarray(rng.random(n), dtype), gs, slab)
         weights = tuple(float(w) for w in np.asarray(prob.stencil.weights))
         alpha = float((2.0 / 3.0) / 26.0)
         offsets = prob.stencil.offsets
-        sweeps_per_launch = 2
+        sweeps_per_launch = 3
 
         def sweep(u):
-            # production smoother shape: two fused weighted-Jacobi sweeps
+            # production smoother shape: three fused weighted-Jacobi sweeps
+            # (struct_cycle._fine_sweeps dispatches this kernel for
+            # multi-sweep smoothing)
+            return ps.stencil_kernel_padded(
+                u, bp, weights, gs, offsets, alpha, None, "sweep3", slab
+            )
+
+        def sweep2(u):
             return ps.stencil_kernel_padded(
                 u, bp, weights, gs, offsets, alpha, None, "sweep2", slab
             )
@@ -127,6 +137,7 @@ def main():
     # line as the headline) ------------------------------------------------
     if on_tpu:
         aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s)
+        aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s)
     aux_vcycle(smoke, dtype)
     aux_bsr(smoke, dtype)
 
@@ -171,6 +182,38 @@ def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s):
     except Exception as e:
         print(json.dumps({
             "metric": "single_sweep_nnz_per_s", "error": str(e)[:200]
+        }))
+
+
+def aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s):
+    """Fused two-sweep rate (the round-2 headline, for cross-round
+    comparison against the fused-triple production number)."""
+    import jax
+
+    try:
+        z = sweep2(up)
+        jax.block_until_ready(z)
+
+        def chained(k):
+            zz = up
+            t0 = time.perf_counter()
+            for _ in range(k):
+                zz = sweep2(zz)
+            jax.block_until_ready(zz)
+            return time.perf_counter() - t0
+
+        t0 = min(chained(51) for _ in range(2))
+        t1 = min(chained(301) for _ in range(2))
+        per = max((t1 - t0) / 250 / 2, 1e-12)
+        print(json.dumps({
+            "metric": "fused_pair_nnz_per_s",
+            "value": nnz / per,
+            "unit": "nnz/s",
+            "vs_baseline": (nnz / per) / roofline_nnz_per_s,
+        }))
+    except Exception as e:
+        print(json.dumps({
+            "metric": "fused_pair_nnz_per_s", "error": str(e)[:200]
         }))
 
 

@@ -158,3 +158,65 @@ def test_double_sweep_scalar_alpha():
     np.testing.assert_allclose(
         np.asarray(ps.from_padded(out, gs)), u2, atol=1e-12
     )
+
+
+@pytest.mark.parametrize("k", [3, 4])
+@pytest.mark.parametrize("slab", [4, 6])
+@pytest.mark.parametrize("use_scale", [True, False])
+def test_ksweep_fused(k, slab, use_scale):
+    """sweepK / sweepK_vec: K fused Jacobi sweeps per launch equal K single
+    sweeps exactly (reach-K halo recompute, ping-pong intermediates),
+    including the edge slabs and the slab == K boundary case."""
+    st = laplacian_3d_27pt(10).stencil
+    gs = st.grid_shape
+    n = int(np.prod(gs))
+    rng = np.random.default_rng(100 + k)
+    u = jnp.asarray(rng.random(n))
+    b = jnp.asarray(rng.random(n))
+    A = stencil_to_csr(st)
+    if use_scale:
+        scale = jnp.asarray(0.6 / A.diagonal())
+        sp_ = ps.to_padded(scale, gs, slab)
+        alpha, mode = 0.0, f"sweep{k}_vec"
+        sc = np.asarray(scale)
+    else:
+        alpha = 0.6 / float(A.diagonal()[0])
+        sp_, mode = None, f"sweep{k}"
+        sc = alpha
+    u_ref = np.asarray(u)
+    for _ in range(k):
+        u_ref = u_ref + sc * (np.asarray(b) - A @ u_ref)
+    up, bp = ps.to_padded(u, gs, slab), ps.to_padded(b, gs, slab)
+    weights = tuple(float(w) for w in np.asarray(st.weights))
+    out = run_interp(
+        ps.stencil_kernel_padded, up, bp, weights, gs, st.offsets,
+        alpha, sp_, mode, slab,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ps.from_padded(out, gs)), u_ref, atol=1e-12
+    )
+
+
+def test_ksweep_two_slabs_edge():
+    """G == 2 (both slabs are edge slabs) still bit-matches chained sweeps."""
+    st = laplacian_3d_27pt(8).stencil  # Zr = 16 at slab 8 -> G = 2
+    gs = st.grid_shape
+    n = int(np.prod(gs))
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.random(n))
+    b = jnp.asarray(rng.random(n))
+    A = stencil_to_csr(st)
+    alpha = 0.6 / float(A.diagonal()[0])
+    u_ref = np.asarray(u)
+    for _ in range(3):
+        u_ref = u_ref + alpha * (np.asarray(b) - A @ u_ref)
+    slab = 8
+    up, bp = ps.to_padded(u, gs, slab), ps.to_padded(b, gs, slab)
+    weights = tuple(float(w) for w in np.asarray(st.weights))
+    out = run_interp(
+        ps.stencil_kernel_padded, up, bp, weights, gs, st.offsets,
+        alpha, None, "sweep3", slab,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ps.from_padded(out, gs)), u_ref, atol=1e-12
+    )

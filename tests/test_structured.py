@@ -255,3 +255,27 @@ def test_runner_structured_distributed():
     ))
     assert st8.rel_resnorm <= 1e-8
     assert st8.cycles == st1.cycles
+
+
+def test_fused_multisweep_cycle_matches_reference():
+    """num_pre/post_sweeps >= 2 routes through the fused k-sweep kernels
+    (slab auto-narrowed); iterates stay identical to the generic cycle."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from amg_tpu.solve.struct_cycle import struct_solve
+
+    prob = laplacian_3d_27pt(12)
+    for smoother in (SmootherType.L1_JACOBI, SmootherType.JACOBI):
+        hh, hier = build_structured_hierarchy(prob.stencil, smoother=smoother)
+        b = jnp.asarray(np.random.default_rng(1).random(prob.n))
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=smoother,
+            num_pre_sweeps=3, num_post_sweeps=2,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            res_f = struct_solve(hier, cfg, b, tol=1e-8, max_cycles=40)
+        res_r = solve(hier, cfg, b, tol=1e-8, max_cycles=40)
+        assert res_f.num_iters() == res_r.num_iters(), smoother
+        np.testing.assert_allclose(
+            np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-12
+        )
