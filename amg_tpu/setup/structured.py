@@ -22,6 +22,7 @@ operators stay 27-pt (verified at build time).
 
 from __future__ import annotations
 
+import functools
 import itertools
 from dataclasses import dataclass
 from typing import Tuple
@@ -93,20 +94,40 @@ class VarStencilOperator:
         return self.matvec(x)
 
 
-def _filter_axis(g: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Apply the symmetric [1/2, 1, 1/2] linear-interpolation filter along
-    one axis (zero boundary)."""
+@functools.lru_cache(maxsize=None)
+def _axis_transfer_np(sf: int, sc: int) -> np.ndarray:
+    """1-D linear-interpolation transfer matrix S (sf x sc): S[2c,c]=1,
+    S[2c±1,c]=1/2 (clipped at the boundary). Restriction contracts the fine
+    axis with S; prolongation contracts the coarse axis with S^T — the same
+    matrix realizes both ([1/2,1,1/2] filter + even subsample)."""
+    S = np.zeros((sf, sc))
+    c = np.arange(sc)
+    S[2 * c, c] = 1.0
+    lo, hi = 2 * c - 1, 2 * c + 1
+    m = lo >= 0
+    S[lo[m], c[m]] = 0.5
+    m = hi < sf
+    S[hi[m], c[m]] = 0.5
+    return S
+
+
+_AXL = "abcde"
+
+
+def _transfer_axis(g: jnp.ndarray, S: np.ndarray, axis: int, to_coarse: bool):
+    """Contract axis `axis` of g with the 1-D transfer matrix S (fine x
+    coarse) on the MXU. Strided slicing along the TPU lane/sublane dims is
+    gather-speed (~25x off roofline measured on the 126^3 V-cycle); a dense
+    (sf x sc) matmul per axis runs the same separable transfer at memory
+    bandwidth — the tap weights ride along as an XLA constant."""
     nd = g.ndim
-    pad = [(1, 1) if d == axis else (0, 0) for d in range(nd)]
-    p = jnp.pad(g, pad)
-    n = g.shape[axis]
-
-    def sl(s):
-        return tuple(
-            slice(s, s + n) if d == axis else slice(None) for d in range(nd)
-        )
-
-    return 0.5 * p[sl(0)] + p[sl(1)] + 0.5 * p[sl(2)]
+    src = _AXL[:nd]
+    k = src[axis]
+    out = src.replace(k, "Z")
+    sub = f"{src},{k}Z->{out}" if to_coarse else f"{src},Z{k}->{out}"
+    return jnp.einsum(
+        sub, g, jnp.asarray(S, g.dtype), precision=jax.lax.Precision.HIGHEST
+    )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -134,15 +155,14 @@ class StructuredProlong:
 
     def __matmul__(self, xc: jnp.ndarray):
         g = xc.reshape(self.coarse_shape)
-        nd = g.ndim
-        up = jnp.zeros(self.fine_shape, g.dtype)
-        # coarse point c lives at fine index 2c (always in range for
-        # coarse_shape = (fine+1)//2)
-        idx = tuple(slice(0, 2 * s - 1, 2) for s in self.coarse_shape)
-        up = up.at[idx].set(g)
-        for d in range(nd):
-            up = _filter_axis(up, d)
-        return up.reshape(-1)
+        for d in range(g.ndim):
+            g = _transfer_axis(
+                g,
+                _axis_transfer_np(self.fine_shape[d], self.coarse_shape[d]),
+                d,
+                to_coarse=False,
+            )
+        return g.reshape(-1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -171,11 +191,13 @@ class StructuredRestrict:
     def __matmul__(self, rf: jnp.ndarray):
         g = rf.reshape(self.fine_shape)
         for d in range(g.ndim):
-            g = _filter_axis(g, d)
-        idx = tuple(slice(0, 2 * s - 1, 2) for s in self.coarse_shape)
-        out = g[idx]
-        # guard: when 2*c-1 > f (can't happen with our coarse_shape choice)
-        return out.reshape(-1)
+            g = _transfer_axis(
+                g,
+                _axis_transfer_np(self.fine_shape[d], self.coarse_shape[d]),
+                d,
+                to_coarse=True,
+            )
+        return g.reshape(-1)
 
 
 def _coarse_shape(shape):

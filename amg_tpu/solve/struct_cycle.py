@@ -22,10 +22,16 @@ import numpy as np
 
 from amg_tpu.ops.pallas_stencil import (
     from_padded,
+    padded_shape,
     stencil_kernel_padded,
     to_padded,
 )
 from amg_tpu.setup.hierarchy import Hierarchy
+from amg_tpu.setup.structured import (
+    StructuredRestrict,
+    _axis_transfer_np,
+    _transfer_axis,
+)
 from amg_tpu.solve.cycles import CycleConfig, mult_vcycle
 from amg_tpu.sparse.stencil import StencilOperator
 
@@ -130,21 +136,71 @@ def _fine_sweeps(spec, u_pad, b_pad, n: int):
     return u_pad
 
 
+def _padded_transfer_mats(grid_shape, slab):
+    """Per-axis 1-D transfer matrices mapping the PADDED fine layout
+    directly to the flat coarse grid (interior starts at padded row 1; the
+    zero-shell/pad rows get all-zero matrix rows). Lets the level-0/1
+    transfers run straight off the kernel's padded state — no
+    from_padded/to_padded passes and no strided lane slicing."""
+    cshape = tuple((s + 1) // 2 for s in grid_shape)
+    pshape = padded_shape(grid_shape, slab)
+    mats = []
+    for sf, sc, sp in zip(grid_shape, cshape, pshape):
+        S = np.zeros((sp, sc))
+        S[1 : 1 + sf] = _axis_transfer_np(sf, sc)
+        mats.append(S)
+    return cshape, tuple(mats)
+
+
+def _restrict_padded(spec, r_pad):
+    """Full-weighting restriction padded-fine → flat-coarse (MXU einsums)."""
+    _, mats = _padded_transfer_mats(spec.grid_shape, spec.slab)
+    g = r_pad
+    for d in range(g.ndim):
+        g = _transfer_axis(g, mats[d], d, to_coarse=True)
+    return g.reshape(-1)
+
+
+def _prolong_padded(spec, ec):
+    """Trilinear prolongation flat-coarse → padded-fine; the zero shell is
+    produced by the all-zero pad rows of the transfer matrices."""
+    cshape, mats = _padded_transfer_mats(spec.grid_shape, spec.slab)
+    g = ec.reshape(cshape)
+    for d in range(g.ndim):
+        g = _transfer_axis(g, mats[d], d, to_coarse=False)
+    return g
+
+
+def _struct_transfers(hier):
+    """True when level-0 transfers are the structured separable pair, i.e.
+    the padded-direct matmul transfers are exactly lv0.R / lv0.P."""
+    return isinstance(hier.levels[0].R, StructuredRestrict)
+
+
 def struct_vcycle(
     hier: Hierarchy, cfg: CycleConfig, spec: StructKernelSpec,
     x_pad: jnp.ndarray, b_pad: jnp.ndarray,
 ) -> jnp.ndarray:
     """One V-cycle with fused fine-level ops; x/b in padded layout."""
     lv0 = hier.levels[0]
+    padded_xfer = _struct_transfers(hier)
     x_pad = _fine_sweeps(spec, x_pad, b_pad, cfg.num_pre_sweeps)
     r_pad = _fine(spec, "residual", x_pad, b_pad)
-    rc = lv0.R @ from_padded(r_pad, spec.grid_shape)
+    rc = (
+        _restrict_padded(spec, r_pad)
+        if padded_xfer
+        else lv0.R @ from_padded(r_pad, spec.grid_shape)
+    )
     if hier.num_levels == 2:
         ec = hier.coarse_Ainv @ rc
     else:
         sub = Hierarchy(levels=hier.levels[1:], coarse_Ainv=hier.coarse_Ainv)
         ec = mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
-    e_pad = to_padded(lv0.P @ ec, spec.grid_shape, spec.slab)
+    e_pad = (
+        _prolong_padded(spec, ec)
+        if padded_xfer
+        else to_padded(lv0.P @ ec, spec.grid_shape, spec.slab)
+    )
     x_pad = x_pad + e_pad
     x_pad = _fine_sweeps(spec, x_pad, b_pad, cfg.num_post_sweeps)
     return x_pad
@@ -234,10 +290,16 @@ def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
     hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=b.dtype)
     hist0 = hist0.at[0].set(1.0)
 
+    padded_xfer = _struct_transfers(hier)
+
     def finish_cycle(y_pad):
         """residual → restrict → coarse solve → prolong → post sweeps."""
         r_pad = _fine(spec, "residual", y_pad, b_pad)
-        rc = lv0.R @ from_padded(r_pad, grid_shape)
+        rc = (
+            _restrict_padded(spec, r_pad)
+            if padded_xfer
+            else lv0.R @ from_padded(r_pad, grid_shape)
+        )
         if hier.num_levels == 2:
             ec = hier.coarse_Ainv @ rc
         else:
@@ -245,7 +307,11 @@ def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
                 levels=hier.levels[1:], coarse_Ainv=hier.coarse_Ainv
             )
             ec = mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
-        y_pad = y_pad + to_padded(lv0.P @ ec, grid_shape, slab)
+        y_pad = y_pad + (
+            _prolong_padded(spec, ec)
+            if padded_xfer
+            else to_padded(lv0.P @ ec, grid_shape, slab)
+        )
         return _fine_sweeps(spec, y_pad, b_pad, cfg.num_post_sweeps)
 
     def body(state):

@@ -242,20 +242,39 @@ def aux_vcycle(smoke, dtype):
             np.random.default_rng(0).random(prob.n), dtype=dtype
         )
         # Pallas-fused struct path on TPU; generic XLA cycle on CPU
-        run = (
-            (lambda: struct_solve(hier, cfg, b, tol=1e-5, max_cycles=40))
-            if jax.default_backend() != "cpu"
-            else (lambda: solve(hier, cfg, b, tol=1e-5, max_cycles=40))
-        )
-        res = run()
-        jax.block_until_ready(res.x)
-        t0 = time.perf_counter()
-        res = run()
-        jax.block_until_ready(res.x)
-        dt = time.perf_counter() - t0
+        on_tpu = jax.default_backend() != "cpu"
+
+        def run(tol, mc):
+            f = struct_solve if on_tpu else solve
+            res = f(hier, cfg, b, tol=tol, max_cycles=mc)
+            jax.block_until_ready(res.x)
+            return res
+
+        res = run(1e-5, 40)  # the convergence numbers of record
+        # per-cycle cost = marginal over capped-cycle runs ((t[11]-t[4])/7)
+        # — one solve launch carries ~25 ms of host-relay + transfer
+        # overhead on the tunneled backend, which is not device cycle time
+        mc0, mc1 = (2, 6) if smoke else (4, 11)
+        for mc in (mc0, mc1):
+            run(0.0, mc)  # compile both loop shapes
+
+        def best(mc, reps=4):
+            t_best, it = 1e9, 1
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                r = run(0.0, mc)
+                t_best = min(t_best, time.perf_counter() - t0)
+                it = max(it, int(r.iters))
+            return t_best, it
+
+        tA, iA = best(mc0)
+        tB, iB = best(mc1)
+        per_cycle = (tB - tA) / max(iB - iA, 1)
+        if per_cycle <= 0:  # timing noise on tiny smoke problems
+            per_cycle = tB / max(iB, 1)
         print(json.dumps({
             "metric": "vcycle_ms",
-            "value": dt / max(int(res.iters), 1) * 1e3,
+            "value": per_cycle * 1e3,
             "unit": "ms/cycle",
             "cycles": int(res.iters),
             "rel_res": float(res.rel_resnorm),
