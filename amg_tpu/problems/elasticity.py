@@ -82,12 +82,22 @@ def elasticity_beam(
     nu: float = 0.3,
     stiff_contrast: float = 50.0,
     load: float = 1.0e-2,
+    bc: str = "reduce",
 ) -> Problem:
     """Cantilever beam elasticity system (2D plane strain if nz==0, else 3D).
 
     The material in the last-quarter of the beam is `stiff_contrast`× stiffer
     (the reference's two-attribute piecewise coefficients with lambda*50,
-    mu*50 on the second region, src/Elasticity.cpp:100-120)."""
+    mu*50 on the second region, src/Elasticity.cpp:100-120).
+
+    bc="reduce"   eliminate clamped dofs (SPD reduced system, MFEM-style).
+    bc="identity" keep the full node grid: clamped rows/cols zeroed with a
+                  unit diagonal (same free-dof solution). The full system
+                  lives on the structured node grid, so its grid_shape is
+                  set to the component-interleaved logical grid
+                  (nx+1, ny+1, d*(nz+1)) and the operator admits the
+                  gather-free DIA-stencil device format
+                  (amg_tpu.setup.structured.csr_to_dia_stencil)."""
     d = 2 if nz == 0 else 3
     cells = (nx, ny) if d == 2 else (nx, ny, nz)
     npts = tuple(c + 1 for c in cells)
@@ -143,6 +153,32 @@ def elasticity_beam(
     for i in range(d):
         clamped[clamped_nodes * d + i] = True
     free = ~clamped
+    if bc == "identity":
+        # zero clamped rows+cols, unit diagonal: x_clamped = 0 exactly and
+        # the free-dof block equals the reduced system
+        keep = sp.diags(free.astype(SETUP_DTYPE))
+        A_id = (keep @ A @ keep + sp.diags(clamped.astype(SETUP_DTYPE))).tocsr()
+        A_id.eliminate_zeros()
+        f_full = np.zeros(node_id.size * d, dtype=SETUP_DTYPE)
+        end_nodes = node_id[-1].reshape(-1)
+        f_full[end_nodes * d + (d - 1)] = -load
+        f_full[clamped] = 0.0
+        axes = [np.arange(p) * hh for p, hh in zip(npts, h)]
+        coords = np.stack(
+            np.meshgrid(*axes, indexing="ij"), axis=-1
+        ).reshape(-1, d)
+        B_full = rigid_body_modes(coords)
+        B_full[clamped] = 0.0
+        ishape = tuple(npts[:-1]) + (npts[-1] * d,)
+        return Problem(
+            name="elasticity",
+            A=CSRMatrix.from_scipy(A_id),
+            stencil=None,
+            grid_shape=ishape,
+            rhs=f_full,
+            near_nullspace=B_full,
+            num_functions=d,
+        )
     A_red = CSRMatrix.from_scipy(A[free][:, free].tocsr())
 
     # pull-down load on the free-end face (reference's boundary force on the

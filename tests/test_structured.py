@@ -46,6 +46,44 @@ class TestTransfers:
         # interior fine points interpolate the constant exactly
         np.testing.assert_allclose(out[1:-1, 1:-1], 1.0, atol=1e-14)
 
+    @pytest.mark.parametrize("shape,slab", [((9, 7, 6), 4), ((12, 10, 8), 6)])
+    def test_padded_direct_transfers_match_flat(self, shape, slab):
+        """struct_cycle's padded-layout transfer matrices (zero-shell rows
+        folded in) agree with the flat-vector StructuredRestrict/Prolong +
+        to/from_padded round trips."""
+        from amg_tpu.ops.pallas_stencil import from_padded, to_padded
+        from amg_tpu.solve.struct_cycle import (
+            StructKernelSpec,
+            _prolong_padded,
+            _restrict_padded,
+        )
+
+        cshape = tuple((s + 1) // 2 for s in shape)
+        spec = StructKernelSpec(
+            weights=(), offsets=(), grid_shape=shape, slab=slab,
+            alpha=0.0, scale_pad=jnp.zeros(()),
+        )
+        rng = np.random.default_rng(0)
+        rf = jnp.asarray(rng.random(int(np.prod(shape))))
+        ec = jnp.asarray(rng.random(int(np.prod(cshape))))
+        Rd = StructuredRestrict(fine_shape=shape, coarse_shape=cshape)
+        Pd = StructuredProlong(fine_shape=shape, coarse_shape=cshape)
+
+        r_pad = to_padded(rf, shape, slab)
+        np.testing.assert_allclose(
+            np.asarray(_restrict_padded(spec, r_pad)),
+            np.asarray(Rd @ rf), atol=1e-14,
+        )
+        e_pad = _prolong_padded(spec, ec)
+        np.testing.assert_allclose(
+            np.asarray(from_padded(e_pad, shape)),
+            np.asarray(Pd @ ec), atol=1e-14,
+        )
+        # the zero shell must be exactly zero (kernel invariant)
+        mask = np.ones(e_pad.shape, bool)
+        mask[1 : shape[0] + 1, 1 : shape[1] + 1, 1 : shape[2] + 1] = False
+        assert np.all(np.asarray(e_pad)[mask] == 0.0)
+
 
 class TestVarStencil:
     def test_csr_roundtrip(self):
