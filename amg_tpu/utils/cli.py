@@ -80,7 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-accel", default=d.accel, choices=("none", "cheby", "richardson"))
     a("-outer_solver", default=d.outer_solver,
       choices=("none", "pcg", "ams_pcg"))
-    a("-setup_type", default=d.setup_type, choices=("classical", "sa"))
+    a("-setup_type", default=d.setup_type,
+      choices=("auto", "classical", "sa"))
     a("-device_format", default=d.device_format,
       choices=("ell", "bsr", "auto"))
     a("-cheby_power_iters", "-cheby_eig_max_iters", "-eig_power_max_iters",

@@ -78,8 +78,9 @@ class SolverOptions:
     block_size: int = 128
     seed: int = 0
     # setup family: classical (PMIS/HMIS+ext+i) or sa (smoothed aggregation
-    # with near-nullspace candidates — elasticity-class problems)
-    setup_type: str = "classical"
+    # with near-nullspace candidates — elasticity-class problems); "auto"
+    # resolves per problem in fixup (sa for elasticity, classical otherwise)
+    setup_type: str = "auto"
     # device operator format: ell | bsr | auto (cost-model BSR on TPU)
     device_format: str = "auto"
 
@@ -257,6 +258,37 @@ class SolverOptions:
                 self.accel = "richardson"
         if self.solver in ASYNC_SOLVERS and self.solver.endswith("bpx"):
             self.read_type = "res"
+        if self.setup_type == "auto":
+            self.setup_type = (
+                "sa" if self.problem == "elasticity" else "classical"
+            )
+        if self.problem == "elasticity" and not self.is_async():
+            # classical unknown-based AMG (and even a bare SA V-cycle with
+            # one L1-Jacobi sweep) is a near-unity contraction on the thin
+            # beam (fine-level cond ~1e7): verified to stall at rel res ~5
+            # after 200 cycles. The production recipe for elasticity-class
+            # problems is the SA hierarchy on rigid-body modes used as a PCG
+            # preconditioner (the reference solves its MFEM problems under an
+            # outer Krylov method too, src/Elasticity.cpp + hypre PCG) — wrap
+            # the multiplicative default so CLI defaults converge.
+            if (
+                self.outer_solver == "none"
+                and self.accel == "none"
+                and self.solver == "mult"
+            ):
+                self.outer_solver = "pcg"
+        if self.problem == "maxwell" and not self.is_async():
+            # curl-curl has a huge near-nullspace (discrete gradients);
+            # nodal AMG alone stalls (verified: rel res 8e-3 after 200
+            # cycles). The production path is the auxiliary-space AMS
+            # preconditioner under PCG (hypre AMS; the reference solves
+            # Maxwell through it as well) — default it on.
+            if (
+                self.outer_solver == "none"
+                and self.accel == "none"
+                and self.solver == "mult"
+            ):
+                self.outer_solver = "ams_pcg"
         if self.num_smooth_sweeps > 0:
             # one sweep count for all phases (reference -num_smooth_sweeps)
             self.num_pre_smooth_sweeps = self.num_smooth_sweeps

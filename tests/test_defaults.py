@@ -40,6 +40,38 @@ class TestAdditiveDefaultsConverge:
         assert st.cycles <= 170, f"async_afacx took {st.cycles} cycles"
 
 
+class TestFEMProblemDefaultsConverge:
+    """Round-3: `-problem elasticity` and `-problem maxwell` at bare CLI
+    defaults stalled (rel res 6.9 / 8.0e-3 after 200 cycles) — plain V(1,1)
+    with classical/nodal AMG is a near-unity contraction on these systems.
+    The fixups now route elasticity onto SA(rigid-body modes)+PCG and
+    maxwell onto AMS-PCG, like the reference's MFEM/hypre production paths."""
+
+    def test_elasticity_defaults(self):
+        st = _run(problem="elasticity", n=8)
+        assert st.rel_resnorm <= 1e-8
+        assert st.cycles <= 120, f"elasticity default took {st.cycles} cycles"
+
+    def test_maxwell_defaults(self):
+        st = _run(problem="maxwell", n=8)
+        assert st.rel_resnorm <= 1e-8
+        assert st.cycles <= 60, f"maxwell default took {st.cycles} cycles"
+
+    def test_fixup_resolution(self):
+        opts = SolverOptions(problem="elasticity").fixup()
+        assert opts.setup_type == "sa" and opts.outer_solver == "pcg"
+        opts = SolverOptions(problem="maxwell").fixup()
+        assert opts.outer_solver == "ams_pcg"
+        # explicit user choices are preserved
+        opts = SolverOptions(problem="elasticity", setup_type="classical",
+                             outer_solver="pcg").fixup()
+        assert opts.setup_type == "classical"
+        opts = SolverOptions(problem="maxwell", accel="cheby").fixup()
+        assert opts.outer_solver == "none"
+        opts = SolverOptions(problem="5pt").fixup()
+        assert opts.setup_type == "classical" and opts.outer_solver == "none"
+
+
 def test_fixup_defaults_additive_accel():
     opts = SolverOptions(solver="afacx").fixup()
     assert opts.accel == "cheby"
