@@ -136,5 +136,6 @@ def test_two_level_vs_independent_oracle():
 
 def test_goldens_exist():
     names = {os.path.basename(p) for p in GOLDEN_FILES}
-    # 5 BASELINE configs + 2 distributed round-2 configs
-    assert len(names) == 7, f"expected 7 goldens, have {names}"
+    # 5 BASELINE configs + 2 distributed round-2 configs + round-3
+    # elasticity-defaults (SA+PCG) config
+    assert len(names) == 8, f"expected 8 goldens, have {names}"

@@ -38,8 +38,11 @@ CONFIGS = {
     "config4_elasticity_dist": dict(
         problem="elasticity", nx=16, ny=4, solver="mult",
         smoother="l1_jacobi", outer_solver="pcg", num_devices=8,
-        comm="halo", device_format="ell",
+        comm="halo", device_format="ell", setup_type="classical",
     ),
+    # elasticity at bare CLI defaults (round-3 fixup: SA on rigid-body
+    # candidates under PCG) — pins the production single-device recipe
+    "config8_elasticity_sa_pcg": dict(problem="elasticity", nx=16, ny=4),
     # 5: Maxwell curl-curl through the auxiliary-space (AMS) solver — the
     # convergent path for curl-curl (classical AMG stalls at rho~0.99 on it,
     # as expected without gradient-space handling); multi-host execution of
