@@ -168,7 +168,10 @@ def elasticity_beam(
             np.meshgrid(*axes, indexing="ij"), axis=-1
         ).reshape(-1, d)
         B_full = rigid_body_modes(coords)
-        B_full[clamped] = 0.0
+        # keep the full rigid-body candidates: zeroing clamped rows creates
+        # zero columns in the SA tentative prolongator (aggregates entirely
+        # inside the clamped face) and a singular coarsest operator; the
+        # identity rows keep x_clamped = 0 under smoothing regardless
         ishape = tuple(npts[:-1]) + (npts[-1] * d,)
         return Problem(
             name="elasticity",

@@ -60,14 +60,20 @@ def sa_strength(C: sp.csr_matrix, theta: float) -> sp.csr_matrix:
 
 def aggregate(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     """Greedy standard aggregation (Vanek-Mandel-Brezina 3-pass): returns
-    agg[i] = aggregate id for every node (every node assigned)."""
+    agg[i] = aggregate id per node; isolated nodes (empty strength row —
+    Dirichlet identity rows, disconnected dofs) stay -1 and are NOT
+    represented on the coarse grid (the point smoother solves their
+    diagonal rows exactly; aggregating them seeds singleton aggregates
+    whose rank-deficient candidate blocks make the coarse operator
+    singular)."""
     n = S.shape[0]
     agg = np.full(n, -1, dtype=np.int64)
     indptr, indices = S.indptr, S.indices
+    isolated = np.diff(indptr) == 0
     next_agg = 0
     # pass 1: seed aggregates from nodes whose whole neighborhood is free
     for i in range(n):
-        if agg[i] != -1:
+        if agg[i] != -1 or isolated[i]:
             continue
         nbrs = indices[indptr[i] : indptr[i + 1]]
         if (agg[nbrs] == -1).all():
@@ -83,8 +89,9 @@ def aggregate(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
         if owned.size:
             attach[i] = agg[owned[0]]
     agg = attach
-    # pass 3: leftover nodes (isolated from all aggregates) form new ones
-    for i in np.flatnonzero(agg == -1):
+    # pass 3: leftover connected nodes form new aggregates with their
+    # still-free neighbors (isolated nodes stay -1)
+    for i in np.flatnonzero((agg == -1) & ~isolated):
         if agg[i] != -1:
             continue
         agg[i] = next_agg
@@ -98,23 +105,40 @@ def aggregate(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
 def tentative_prolongator(
     agg: np.ndarray, B: np.ndarray, num_functions: int
 ) -> tuple:
-    """Per-aggregate orthonormalization of the candidates: P_tent (n × na*nb)
-    with orthonormal columns per aggregate, and B_coarse (na*nb × nb) such
-    that P_tent @ B_coarse == B (exact candidate reproduction)."""
+    """Per-aggregate orthonormalization of the candidates: P_tent (n × nc)
+    with orthonormal columns per aggregate, and B_coarse (nc × nb) such that
+    P_tent @ B_coarse == B (exact candidate reproduction).
+
+    Dofs with agg < 0 (isolated/Dirichlet nodes) get zero P rows — no
+    coarse representation. Exactly-zero columns (rank-deficient aggregates:
+    a 2-node aggregate cannot see the rotation about its own axis; a
+    clamped singleton carries < nb independent dofs) are dropped with their
+    B_coarse rows, keeping the coarse operator nonsingular — P@Bc == B
+    still holds since the dropped columns are zero."""
     n, nb = B.shape
     nf = num_functions
     na = int(agg.max()) + 1
     dof_agg = np.repeat(agg, nf)[:n] if nf > 1 else agg
+    kept = np.flatnonzero(dof_agg >= 0)
     # bucket dofs by aggregate, pad to the max aggregate size, batched QR
-    order = np.argsort(dof_agg, kind="stable")
-    counts = np.bincount(dof_agg, minlength=na)
+    order = kept[np.argsort(dof_agg[kept], kind="stable")]
+    counts = np.bincount(dof_agg[kept], minlength=na)
     mx = int(counts.max())
     starts = np.zeros(na + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     padded = np.zeros((na, mx, nb))
-    slot = np.arange(n) - starts[dof_agg[order]]
+    slot = np.arange(order.size) - starts[dof_agg[order]]
     padded[dof_agg[order], slot] = B[order]
     Q, R = np.linalg.qr(padded)  # batched thin QR; zero pad rows stay zero
+    # rank-revealing drop: |R_jj| ~ 0 marks a candidate with no independent
+    # component in this aggregate — its Q column is an arbitrary orthonormal
+    # completion vector, not interpolation data. Zero it so the scatter
+    # skips it, and drop its B_coarse row below.
+    rdiag = np.abs(np.einsum("aii->ai", R))  # (na, nb)
+    scale = np.maximum(rdiag.max(axis=1, keepdims=True), 1e-300)
+    deficient = rdiag <= 1e-10 * scale
+    if deficient.any():
+        Q = np.where(deficient[:, None, :], 0.0, Q)
     # scatter Q back to sparse P (only real dof rows are read — the
     # orthonormal-completion rows at padding positions are never touched)
     r_idx = np.repeat(order[:, None], nb, axis=1).reshape(-1)
@@ -124,6 +148,13 @@ def tentative_prolongator(
     P = sp.coo_matrix((vals, (r_idx, c_idx)), shape=(n, na * nb)).tocsr()
     P.eliminate_zeros()
     Bc = R.reshape(na * nb, nb)
+    keep_cols = ~deficient.reshape(-1)
+    # also drop columns that are empty for any other reason (e.g. aggregates
+    # whose dofs were all isolated)
+    keep_cols &= np.asarray(np.abs(P).sum(axis=0)).ravel() > 0.0
+    if not keep_cols.all():
+        P = P[:, keep_cols].tocsr()
+        Bc = Bc[keep_cols]
     return CSRMatrix.from_scipy(P), Bc
 
 
@@ -166,9 +197,15 @@ def build_sa_host_hierarchy(
         S = sa_strength(C, params.sa_theta)
         agg = aggregate(S, seed=params.seed)
         na = int(agg.max()) + 1
-        if na * B.shape[1] >= level_A.n_rows or na == 0:
-            break  # aggregation stalled
+        if na == 0:
+            break  # nothing aggregated (all-isolated level)
         P_tent, Bc = tentative_prolongator(agg, B, nf)
+        if P_tent.shape[1] >= level_A.n_rows:
+            break  # aggregation stalled
+        # after the zero-column drop the coarse blocking may be ragged; the
+        # next level's amalgamation still groups by nb consecutive dofs,
+        # which is only a heuristic grouping (aggregation quality, not
+        # correctness)
         # prolongator smoothing: P = (I - omega * Dinv A) P_tent with the
         # diagonal scaling; omega = sa_omega / rho(Dinv A)
         diag = level_A.diagonal()

@@ -341,11 +341,23 @@ def device_hierarchy(
     convert = _format_converter(params)
     for k, hl in enumerate(hh.levels):
         if k == 0 and fine_stencil is not None and params.keep_stencil_fine:
-            A_dev: Any = StencilOperator(
-                weights=jnp.asarray(fine_stencil.weights, dtype=dtype),
-                offsets=fine_stencil.offsets,
-                grid_shape=fine_stencil.grid_shape,
-            )
+            from amg_tpu.setup.structured import VarStencilOperator
+
+            if isinstance(fine_stencil, VarStencilOperator):
+                # generalized-diagonal (DIA) fine operator — gather-free
+                # SpMV for translation-structured FEM systems (elasticity
+                # bc='identity', vardifconv); csr_to_dia_stencil builds it
+                A_dev: Any = VarStencilOperator(
+                    coeffs=fine_stencil.coeffs.astype(dtype),
+                    offsets=fine_stencil.offsets,
+                    grid_shape=fine_stencil.grid_shape,
+                )
+            else:
+                A_dev = StencilOperator(
+                    weights=jnp.asarray(fine_stencil.weights, dtype=dtype),
+                    offsets=fine_stencil.offsets,
+                    grid_shape=fine_stencil.grid_shape,
+                )
         else:
             A_dev = convert(hl.A, dtype)
         sm = make_smoother_data(

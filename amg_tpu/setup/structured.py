@@ -100,6 +100,10 @@ def _axis_transfer_np(sf: int, sc: int) -> np.ndarray:
     S[2c±1,c]=1/2 (clipped at the boundary). Restriction contracts the fine
     axis with S; prolongation contracts the coarse axis with S^T — the same
     matrix realizes both ([1/2,1,1/2] filter + even subsample)."""
+    if sf == sc:
+        # untouched axis (e.g. the component axis of an interleaved vector
+        # field): the transfer is the identity
+        return np.eye(sf)
     S = np.zeros((sf, sc))
     c = np.arange(sc)
     S[2 * c, c] = 1.0
@@ -156,6 +160,8 @@ class StructuredProlong:
     def __matmul__(self, xc: jnp.ndarray):
         g = xc.reshape(self.coarse_shape)
         for d in range(g.ndim):
+            if self.fine_shape[d] == self.coarse_shape[d]:
+                continue  # identity axis (vector components)
             g = _transfer_axis(
                 g,
                 _axis_transfer_np(self.fine_shape[d], self.coarse_shape[d]),
@@ -191,6 +197,8 @@ class StructuredRestrict:
     def __matmul__(self, rf: jnp.ndarray):
         g = rf.reshape(self.fine_shape)
         for d in range(g.ndim):
+            if self.fine_shape[d] == self.coarse_shape[d]:
+                continue  # identity axis (vector components)
             g = _transfer_axis(
                 g,
                 _axis_transfer_np(self.fine_shape[d], self.coarse_shape[d]),
@@ -202,6 +210,53 @@ class StructuredRestrict:
 
 def _coarse_shape(shape):
     return tuple((s + 1) // 2 for s in shape)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class MaskedTransfer:
+    """Transfer composed with Dirichlet masks: out_mask * (T @ (in_mask *
+    x)). Decouples identity-BC (clamped) dofs from the coarse correction —
+    without it the Galerkin coarse operators mix stiffness and identity
+    rows and the V-cycle degrades badly near the boundary."""
+
+    inner: object  # StructuredProlong | StructuredRestrict
+    in_mask: jnp.ndarray
+    out_mask: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.inner, self.in_mask, self.out_mask), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(inner=children[0], in_mask=children[1],
+                   out_mask=children[2])
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    @property
+    def shape_cols(self):
+        return self.inner.shape[1]
+
+    def __matmul__(self, x: jnp.ndarray):
+        return self.out_mask * (self.inner @ (self.in_mask * x))
+
+
+def _identity_row_mask(As) -> np.ndarray:
+    """Boolean mask of exact unit-diagonal-only rows (Dirichlet identity
+    rows of the bc='identity' convention): a_ii == 1 and no off-diagonals."""
+    As = As.tocsr()
+    n = As.shape[0]
+    nnz_row = np.diff(As.indptr)
+    mask = np.zeros(n, dtype=bool)
+    single = nnz_row == 1
+    idx = As.indptr[:-1][single]
+    mask[single] = (As.indices[idx] == np.flatnonzero(single)) & (
+        As.data[idx] == 1.0
+    )
+    return mask
 
 
 def _structured_P_csr(fine_shape, coarse_shape) -> CSRMatrix:
@@ -342,6 +397,142 @@ def csr_to_dia_stencil(
         offsets=tuple(tuple(int(v) for v in o) for o in uniq),
         grid_shape=tuple(grid_shape),
     )
+
+
+def build_dia_structured_hierarchy(
+    A: CSRMatrix,
+    node_shape: Tuple[int, ...],
+    num_functions: int = 1,
+    params=None,
+    max_levels: int = 25,
+    max_coarse_size: int = 600,
+    dtype=jnp.float64,
+    smoother=None,
+    smooth_weight=None,
+    max_offsets: int = 256,
+):
+    """Geometric hierarchy for a VARIABLE-coefficient operator on a
+    structured node grid with `num_functions` interleaved dofs per node —
+    the gather-free device path for structured-mesh FEM systems (elasticity
+    bc='identity', vardifconv/graded scalar problems).
+
+    Every level's operator is a DIA VarStencilOperator (shifted multiply-
+    adds, zero gathers); transfers are node-wise separable (tri)linear
+    interpolation x identity on the component axis, executed as per-axis MXU
+    contractions (StructuredProlong/Restrict on the (nodes..., d) view).
+    Because nested Q1 spaces embed exactly, the Galerkin product of the
+    identity-BC FEM operator stays translation-structured, so every coarse
+    level admits the DIA form too (validated at build time — raises
+    ValueError if the offset census explodes).
+
+    Returns the same (HostHierarchy, Hierarchy) pair as the other builders;
+    plugs into all cycles/solvers unchanged. Replaces the reference's
+    unstructured row-loop path for its structured-mesh problems (reference:
+    src/SMEM_MatVec.cpp:123-259, src/Elasticity.cpp:7-149)."""
+    import scipy.sparse as sp
+
+    from amg_tpu.setup.hierarchy import (
+        Hierarchy,
+        HostHierarchy,
+        HostLevel,
+        Level,
+    )
+    from amg_tpu.setup.rap import estimate_rho_dinv_a
+    from amg_tpu.smooth import SmootherType, make_smoother_data
+
+    if params is not None:
+        dtype = params.dtype
+        smoother = params.smoother
+        smooth_weight = params.smooth_weight
+        max_levels = params.max_levels
+        max_coarse_size = max(params.max_coarse_size, 8)
+    if smoother is None:
+        smoother = SmootherType.L1_JACOBI
+    d = max(num_functions, 1)
+
+    def dia_shape(ns):
+        return tuple(ns[:-1]) + (ns[-1] * d,)
+
+    hh = HostHierarchy(params=params)
+    node_shapes = [tuple(node_shape)]
+    A_csr = A
+    dev_levels = []
+    lvl = 0
+    while True:
+        ns = node_shapes[-1]
+        A_dev = csr_to_dia_stencil(
+            A_csr, dia_shape(ns), dtype, max_offsets=max_offsets
+        )
+        hl = HostLevel(A=A_csr)
+        if smooth_weight is not None:
+            hl.weight = smooth_weight
+        else:
+            scale = None
+            if smoother in (SmootherType.L1_JACOBI, SmootherType.SYM_L1_JACOBI):
+                scale = A_csr.l1_row_norms()
+            hl.weight = 1.0 / max(estimate_rho_dinv_a(A_csr, scale=scale), 1e-12)
+        hh.levels.append(hl)
+        sm = make_smoother_data(A_csr, smoother, w=hl.weight, dtype=dtype)
+        n = A_csr.n_rows
+        if n <= max_coarse_size or lvl == max_levels - 1 or min(ns) < 5:
+            dev_levels.append(
+                Level(A=A_dev, P=None, R=None, P_s=None, R_s=None,
+                      R_inj=None, sm=sm)
+            )
+            break
+        cns = _coarse_shape(ns)
+        Ps = _structured_P_csr(ns, cns).to_scipy()
+        if d > 1:
+            Ps = sp.kron(Ps, sp.eye(d), format="csr")
+        # Dirichlet decoupling: zero the P rows of clamped fine dofs and the
+        # columns of clamped coarse dofs (coarse node 2i is the fine node's
+        # image, so identity rows survive RAP as identity rows), then pin
+        # the clamped coarse diagonal back to 1 — the coarse problem is the
+        # same bc='identity' convention one level down
+        mask_f = _identity_row_mask(A_csr.to_scipy())
+        if mask_f.any():
+            keep_f = sp.diags((~mask_f).astype(np.float64))
+            # coarse clamped mask by injection: coarse node i sits on fine
+            # node 2i, so it inherits that dof's Dirichlet status
+            mask_c = (
+                mask_f.reshape(ns + (d,))[
+                    tuple(slice(None, None, 2) for _ in ns)
+                ].reshape(-1)
+            )
+            keep_c = sp.diags((~mask_c).astype(np.float64))
+            Ps = (keep_f @ Ps @ keep_c).tocsr()
+            Ps.eliminate_zeros()
+        P_csr = CSRMatrix.from_scipy(Ps.tocsr())
+        R_csr = P_csr.transpose()
+        hl.P, hl.R = P_csr, R_csr
+        Ac = (Ps.T @ A_csr.to_scipy() @ Ps).tocsr()
+        Ac.data[np.abs(Ac.data) < 1e-14 * np.abs(Ac.data).max()] = 0.0
+        Ac.eliminate_zeros()
+        if mask_f.any() and mask_c.any():
+            Ac = (Ac + sp.diags(mask_c.astype(np.float64))).tocsr()
+        # per-axis node transfers x identity on the trailing component axis
+        P_dev = StructuredProlong(
+            fine_shape=ns + (d,), coarse_shape=cns + (d,)
+        )
+        R_dev = StructuredRestrict(
+            fine_shape=ns + (d,), coarse_shape=cns + (d,)
+        )
+        if mask_f.any():
+            vin = jnp.asarray((~mask_c).astype(np.float64), dtype=dtype)
+            vout = jnp.asarray((~mask_f).astype(np.float64), dtype=dtype)
+            P_dev = MaskedTransfer(inner=P_dev, in_mask=vin, out_mask=vout)
+            R_dev = MaskedTransfer(inner=R_dev, in_mask=vout, out_mask=vin)
+        dev_levels.append(
+            Level(A=A_dev, P=P_dev, R=R_dev, P_s=None, R_s=None,
+                  R_inj=None, sm=sm)
+        )
+        A_csr = CSRMatrix.from_scipy(Ac)
+        node_shapes.append(cns)
+        lvl += 1
+    coarse_Ainv = jnp.asarray(
+        np.linalg.inv(hh.levels[-1].A.to_dense()), dtype=dtype
+    )
+    return hh, Hierarchy(levels=tuple(dev_levels), coarse_Ainv=coarse_Ainv)
 
 
 def build_structured_hierarchy(

@@ -40,6 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     # (src/DMEM_BuildMatrix.cpp:1284-1310, default off DMEM_Main.cpp:128)
     a("-include_disconnected_points", action="store_true")
     a("-sigma", type=float, default=d.sigma)
+    a("-elast_bc", default=d.elast_bc, choices=("reduce", "identity"))
     a("-grading", type=float, default=d.grading)
     a("-amr_rounds", type=int, default=d.amr_rounds)
     a("-amr_theta", type=float, default=d.amr_theta)
@@ -83,7 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-setup_type", default=d.setup_type,
       choices=("auto", "classical", "sa"))
     a("-device_format", default=d.device_format,
-      choices=("ell", "bsr", "auto"))
+      choices=("ell", "bsr", "auto", "dia"))
     a("-cheby_power_iters", "-cheby_eig_max_iters", "-eig_power_max_iters",
       type=int, default=d.cheby_power_iters)
     # reference spelling kept: hypre_lobpcg/slepc map onto the native

@@ -52,6 +52,11 @@ class SolverOptions:
     include_disconnected_points: bool = False
     num_functions: int = 0  # 0 = auto (problem-dependent); >0 overrides
     sigma: float = 1.0  # maxwell conductivity
+    # elasticity boundary handling: "reduce" eliminates clamped dofs (SPD
+    # reduced system, MFEM-style); "identity" keeps the full structured node
+    # grid (clamped rows/cols zeroed, unit diagonal — same free-dof
+    # solution) so the operator admits the gather-free DIA device format
+    elast_bc: str = "reduce"  # reduce | identity
     grading: float = 2.5  # graded-mesh (AMR-analog) refinement exponent
     amr_rounds: int = 3  # estimator-driven refinement rounds (-problem amr)
     amr_theta: float = 0.5  # ThresholdRefiner marking fraction

@@ -40,7 +40,9 @@ def build_problem(opts: SolverOptions):
     if opts.problem == "elasticity":
         from amg_tpu.problems.elasticity import elasticity_beam
 
-        return elasticity_beam(nx=nx, ny=ny, nz=(nz if opts.nz else 0))
+        return elasticity_beam(
+            nx=nx, ny=ny, nz=(nz if opts.nz else 0), bc=opts.elast_bc
+        )
     if opts.problem == "maxwell":
         from amg_tpu.problems.maxwell import maxwell_curlcurl
 
@@ -137,19 +139,44 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
     mesh = None
     grid_mesh = None
     if opts.hierarchy == "structured":
-        if prob.stencil is None:
-            raise ValueError("structured hierarchy needs a stencil problem")
-        from amg_tpu.setup.structured import build_structured_hierarchy
-
         dtype_s = jnp.float32 if opts.mixed_precision else params.dtype
-        hh, hier = build_structured_hierarchy(
-            prob.stencil,
-            max_levels=opts.max_levels,
-            max_coarse_size=max(opts.max_coarse_size, 8),
-            dtype=dtype_s,
-            smoother=smoother,
-            smooth_weight=opts.smooth_weight,
-        )
+        if prob.stencil is not None:
+            from amg_tpu.setup.structured import build_structured_hierarchy
+
+            hh, hier = build_structured_hierarchy(
+                prob.stencil,
+                max_levels=opts.max_levels,
+                max_coarse_size=max(opts.max_coarse_size, 8),
+                dtype=dtype_s,
+                smoother=smoother,
+                smooth_weight=opts.smooth_weight,
+            )
+        elif prob.grid_shape is not None:
+            # variable-coefficient / interleaved-vector operator on a
+            # structured grid (elasticity -elast_bc identity, vardifconv):
+            # geometric hierarchy with DIA operators at every level
+            from amg_tpu.setup.structured import (
+                build_dia_structured_hierarchy,
+            )
+
+            gs = prob.grid_shape
+            nf = num_functions
+            node_shape = tuple(gs[:-1]) + (gs[-1] // max(nf, 1),)
+            hh, hier = build_dia_structured_hierarchy(
+                prob.A,
+                node_shape,
+                num_functions=nf,
+                max_levels=opts.max_levels,
+                max_coarse_size=max(opts.max_coarse_size, 8),
+                dtype=dtype_s,
+                smoother=smoother,
+                smooth_weight=opts.smooth_weight,
+            )
+        else:
+            raise ValueError(
+                "structured hierarchy needs a stencil or grid-structured "
+                "problem"
+            )
         if opts.num_devices > 1:
             # geometric hierarchy over the mesh: grid coefficient arrays
             # sharded along the major axis, GSPMD inserts the stencil halos
@@ -212,10 +239,30 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
                 hh, params, mesh, comm=opts.comm
             )
     else:
+        fine_op = prob.stencil
+        if (
+            fine_op is None
+            and prob.grid_shape is not None
+            and opts.device_format in ("auto", "dia")
+        ):
+            # translation-structured CSR without a constant stencil
+            # (elasticity bc='identity', vardifconv): the DIA generalized-
+            # diagonal form runs SpMV as shifted multiply-adds, no gathers
+            import jax as _jax
+
+            from amg_tpu.setup.structured import csr_to_dia_stencil
+
+            if opts.device_format == "dia" or _jax.default_backend() != "cpu":
+                try:
+                    fine_op = csr_to_dia_stencil(
+                        prob.A, prob.grid_shape, params.dtype
+                    )
+                except ValueError:
+                    fine_op = None  # not translation-structured — formats below
         hh, hier = build_hierarchy(
             prob.A,
             params,
-            fine_stencil=prob.stencil,
+            fine_stencil=fine_op,
             near_nullspace=getattr(prob, "near_nullspace", None),
         )
     hstats = hh.stats()

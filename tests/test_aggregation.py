@@ -111,3 +111,58 @@ def test_rigid_body_modes_shape():
     assert rigid_body_modes(c2).shape == (20, 3)
     c3 = np.random.default_rng(0).random((10, 3))
     assert rigid_body_modes(c3).shape == (30, 6)
+
+
+def test_isolated_nodes_not_aggregated():
+    """Dirichlet identity rows (empty strength rows) stay off the coarse
+    grid: agg == -1, zero P rows, and the coarse operator is nonsingular
+    (regression: clamped singleton aggregates made the identity-BC beam's
+    coarsest matrix exactly singular)."""
+    import scipy.sparse as sp
+
+    p = laplacian_2d_5pt(8)
+    A = p.A.to_scipy().tolil()
+    # carve out 5 identity rows
+    iso = [0, 7, 20, 33, 63]
+    for i in iso:
+        A[i, :] = 0.0
+        A[:, i] = 0.0
+        A[i, i] = 1.0
+    S = sa_strength(sp.csr_matrix(A), 0.0)
+    agg = aggregate(S)
+    assert (agg[iso] == -1).all()
+    assert (agg[np.setdiff1d(np.arange(p.n), iso)] >= 0).all()
+
+
+def test_identity_bc_elasticity_sa_solves():
+    """The full-grid (bc='identity') beam through SA: clamped dofs are
+    excluded from coarsening, rank-deficient aggregate columns dropped, and
+    the solve reaches 1e-8 like the reduced system does."""
+    from amg_tpu.problems.elasticity import elasticity_beam as beam
+
+    p = beam(8, 4, 4, bc="identity")
+    params = HierarchyParams(setup_type="sa", num_functions=3)
+    hh, hier = build_hierarchy(
+        p.A, params, near_nullspace=np.asarray(p.near_nullspace)
+    )
+    # nonsingular coarsest: the dense inverse must be finite
+    assert np.isfinite(np.asarray(hier.coarse_Ainv)).all()
+    cfg = CycleConfig(cycle=CycleType.MULT, smoother=params.smoother)
+    res = solve(
+        hier, cfg, jnp.asarray(p.rhs), tol=1e-8, max_cycles=150, outer="pcg"
+    )
+    assert float(res.rel_resnorm) < 1e-8
+
+
+def test_tentative_prolongator_drops_zero_columns():
+    """A 2-node aggregate cannot represent the rotation about its own axis:
+    the tentative prolongator's QR yields an exactly-zero column, which must
+    be dropped (with its B_coarse row) while keeping P @ Bc == B."""
+    from amg_tpu.setup.aggregation import tentative_prolongator
+
+    coords = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    B = rigid_body_modes(coords)  # (6, 6)
+    agg = np.zeros(2, dtype=np.int64)
+    P, Bc = tentative_prolongator(agg, B, 3)
+    assert P.shape[1] == 5  # rank 5: axis rotation lost
+    np.testing.assert_allclose(P.to_scipy() @ Bc, B, atol=1e-12)
