@@ -346,12 +346,26 @@ def device_hierarchy(
             if isinstance(fine_stencil, VarStencilOperator):
                 # generalized-diagonal (DIA) fine operator — gather-free
                 # SpMV for translation-structured FEM systems (elasticity
-                # bc='identity', vardifconv); csr_to_dia_stencil builds it
-                A_dev: Any = VarStencilOperator(
+                # bc='identity', vardifconv); csr_to_dia_stencil builds it,
+                # and on accelerator backends the fused Pallas var-stencil
+                # kernel runs it (one coefficient stream per matvec)
+                import jax as _jax
+
+                from amg_tpu.setup.structured import DiaKernelOperator
+
+                vs = VarStencilOperator(
                     coeffs=fine_stencil.coeffs.astype(dtype),
                     offsets=fine_stencil.offsets,
                     grid_shape=fine_stencil.grid_shape,
                 )
+                A_dev: Any = vs
+                if (
+                    _jax.default_backend() != "cpu"
+                    and dtype != jnp.float64
+                ):
+                    op = DiaKernelOperator.try_from_var_stencil(vs)
+                    if op is not None:
+                        A_dev = op
             else:
                 A_dev = StencilOperator(
                     weights=jnp.asarray(fine_stencil.weights, dtype=dtype),

@@ -94,6 +94,144 @@ class VarStencilOperator:
         return self.matvec(x)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DiaKernelOperator:
+    """VarStencilOperator variant whose SpMV runs through the fused Pallas
+    variable-stencil kernel (amg_tpu.ops.pallas_var_stencil): coefficients
+    pre-padded once at setup, flat-vector matvec pads/unpads the operand
+    around one kernel launch. TPU device format for DIA operators — the
+    XLA shifted-slice lowering of VarStencilOperator measured 54 GB/s on
+    the 99-offset elasticity operator; the kernel streams the coefficient
+    planes once per matvec."""
+
+    c_pad: jnp.ndarray  # (m, Zr, Yr, Xr) padded coefficient planes
+    diag: jnp.ndarray  # flat diagonal (for smoother setup paths)
+    offsets: Tuple[Tuple[int, ...], ...]  # static, PERMUTED axis order
+    grid_shape: Tuple[int, ...]  # static, ORIGINAL axis order
+    halos: Tuple[int, ...]  # static, permuted
+    slab: int  # static
+    perm: Tuple[int, ...] = (0, 1, 2)  # axis permutation original→kernel
+
+    def tree_flatten(self):
+        return (self.c_pad, self.diag), (
+            self.offsets, self.grid_shape, self.halos, self.slab, self.perm
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(c_pad=children[0], diag=children[1], offsets=aux[0],
+                   grid_shape=aux[1], halos=aux[2], slab=aux[3],
+                   perm=aux[4])
+
+    # usable scoped-VMEM budget for the kernel's buffers (16 MB total on
+    # the target, leave headroom for Mosaic temporaries)
+    _VMEM_BUDGET = 11 * 2**20
+
+    @staticmethod
+    def _best_perm(grid_shape, offsets):
+        """Jointly pick the axis permutation and slab height minimizing the
+        padded coefficient volume (lane padding to 128 and sublane to 8
+        dominate the per-matvec stream), subject to the kernel envelope:
+        sublane halo <= 8 and the double-buffered coefficient/operand slabs
+        fitting scoped VMEM (2mT + 2(T+2hz) + 4T slab-planes)."""
+        import itertools as it
+
+        from amg_tpu.ops.pallas_var_stencil import _round_up
+
+        o = np.abs(np.asarray(offsets, dtype=np.int64)).max(axis=0)
+        m = len(offsets)
+        best, best_key, best_slab = None, None, None
+        for p in it.permutations(range(len(grid_shape))):
+            h = [int(o[a]) for a in p]
+            s = [int(grid_shape[a]) for a in p]
+            if h[1] > 8:
+                continue
+            Yr = _round_up(s[1] + 2 * h[1], 8)
+            Xr = _round_up(s[2] + 2 * h[2], 128)
+            for T in range(max(1, h[0]), 9):
+                vmem = (2 * m * T + 2 * (T + 2 * h[0]) + 4 * T) * Yr * Xr * 4
+                if vmem > DiaKernelOperator._VMEM_BUDGET:
+                    break  # grows with T
+                vol = _round_up(s[0] + 2 * h[0], T) * Yr * Xr
+                key = (vol, -T)  # min volume, then deepest slab
+                if best_key is None or key < best_key:
+                    best, best_key, best_slab = p, key, T
+        return best, best_slab
+
+    @classmethod
+    def try_from_var_stencil(cls, vs: "VarStencilOperator"):
+        """from_var_stencil, or None when the operator is outside the
+        kernel envelope (non-3D grid, no axis order with sublane halo <= 8)."""
+        if len(vs.grid_shape) != 3:
+            return None
+        if cls._best_perm(vs.grid_shape, vs.offsets)[0] is None:
+            return None
+        return cls.from_var_stencil(vs)
+
+    @classmethod
+    def from_var_stencil(cls, vs: "VarStencilOperator", slab: int | None = None):
+        from amg_tpu.ops.pallas_var_stencil import (
+            coeffs_to_padded,
+            halos_of,
+        )
+
+        perm, auto_slab = cls._best_perm(vs.grid_shape, vs.offsets)
+        if perm is None:
+            raise ValueError("operator outside the var-stencil kernel envelope")
+        if slab is None:
+            slab = auto_slab
+        m = len(vs.offsets)
+        pg = tuple(vs.grid_shape[a] for a in perm)
+        poff = tuple(tuple(int(o[a]) for a in perm) for o in vs.offsets)
+        coeffs = jnp.transpose(vs.coeffs, (0,) + tuple(a + 1 for a in perm))
+        halos = halos_of(poff)
+        return cls(
+            c_pad=coeffs_to_padded(
+                coeffs.reshape(m, -1), pg, halos, slab
+            ),
+            diag=vs.diagonal(),
+            offsets=poff,
+            grid_shape=tuple(vs.grid_shape),
+            halos=halos,
+            slab=slab,
+            perm=tuple(int(a) for a in perm),
+        )
+
+    @property
+    def n_rows(self) -> int:
+        return int(np.prod(self.grid_shape))
+
+    @property
+    def shape(self) -> tuple:
+        return (self.n_rows, self.n_rows)
+
+    def diagonal(self) -> jnp.ndarray:
+        return self.diag
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        from amg_tpu.ops.pallas_var_stencil import (
+            var_from_padded,
+            var_stencil_kernel_padded,
+            var_to_padded,
+        )
+
+        perm = self.perm
+        pg = tuple(self.grid_shape[a] for a in perm)
+        g = jnp.transpose(x.reshape(self.grid_shape), perm).reshape(-1)
+        xp = var_to_padded(g, pg, self.halos, self.slab)
+        yp = var_stencil_kernel_padded(
+            xp, self.c_pad, self.offsets, pg,
+            mode="spmv", slab=self.slab,
+        )
+        y = var_from_padded(yp, pg, self.halos).reshape(pg)
+        inv = tuple(np.argsort(perm))
+        return jnp.transpose(y, inv).reshape(x.shape)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
 @functools.lru_cache(maxsize=None)
 def _axis_transfer_np(sf: int, sc: int) -> np.ndarray:
     """1-D linear-interpolation transfer matrix S (sf x sc): S[2c,c]=1,
@@ -410,6 +548,7 @@ def build_dia_structured_hierarchy(
     smoother=None,
     smooth_weight=None,
     max_offsets: int = 256,
+    use_kernel: bool | None = None,
 ):
     """Geometric hierarchy for a VARIABLE-coefficient operator on a
     structured node grid with `num_functions` interleaved dofs per node —
@@ -448,10 +587,22 @@ def build_dia_structured_hierarchy(
         max_coarse_size = max(params.max_coarse_size, 8)
     if smoother is None:
         smoother = SmootherType.L1_JACOBI
+    if use_kernel is None:
+        # fused Pallas var-stencil kernel on accelerator backends (f32 —
+        # Mosaic cannot legalize x64 index types); XLA shifted slices on CPU
+        use_kernel = (
+            jax.default_backend() != "cpu" and dtype != jnp.float64
+        )
     d = max(num_functions, 1)
 
     def dia_shape(ns):
         return tuple(ns[:-1]) + (ns[-1] * d,)
+
+    def to_device_op(vs: VarStencilOperator):
+        if not use_kernel:
+            return vs
+        op = DiaKernelOperator.try_from_var_stencil(vs)
+        return vs if op is None else op
 
     hh = HostHierarchy(params=params)
     node_shapes = [tuple(node_shape)]
@@ -460,8 +611,10 @@ def build_dia_structured_hierarchy(
     lvl = 0
     while True:
         ns = node_shapes[-1]
-        A_dev = csr_to_dia_stencil(
-            A_csr, dia_shape(ns), dtype, max_offsets=max_offsets
+        A_dev = to_device_op(
+            csr_to_dia_stencil(
+                A_csr, dia_shape(ns), dtype, max_offsets=max_offsets
+            )
         )
         hl = HostLevel(A=A_csr)
         if smooth_weight is not None:
