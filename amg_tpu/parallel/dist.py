@@ -382,7 +382,29 @@ def shard_structured_hierarchy(hier, mesh: Mesh):
                 grid_shape=A.grid_shape,
             )
         sm = _shard_smoother(lv.sm, mesh) if lv.sm.scale.shape[0] % D == 0 else lv.sm
-        levels.append(lv._replace(A=A, sm=sm))
+        P_dev, R_dev = lv.P, lv.R
+        from amg_tpu.setup.structured import MaskedTransfer
+
+        def _shard_masked(t):
+            # Dirichlet masks are flat row-major vectors: contiguous row
+            # sharding coincides with grid-axis-0 block sharding
+            def put(v):
+                if v.shape[0] % D == 0:
+                    return jax.device_put(
+                        v, NamedSharding(mesh, P(axis))
+                    )
+                return v
+
+            return MaskedTransfer(
+                inner=t.inner, in_mask=put(t.in_mask),
+                out_mask=put(t.out_mask),
+            )
+
+        if isinstance(P_dev, MaskedTransfer):
+            P_dev = _shard_masked(P_dev)
+        if isinstance(R_dev, MaskedTransfer):
+            R_dev = _shard_masked(R_dev)
+        levels.append(lv._replace(A=A, sm=sm, P=P_dev, R=R_dev))
     return Hierarchy(
         levels=tuple(levels),
         coarse_Ainv=jax.device_put(hier.coarse_Ainv, _replicated(mesh)),

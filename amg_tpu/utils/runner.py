@@ -171,6 +171,10 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
                 dtype=dtype_s,
                 smoother=smoother,
                 smooth_weight=opts.smooth_weight,
+                # multi-device: keep the XLA VarStencil form — GSPMD
+                # inserts boundary-plane collective-permutes for the
+                # pad+shift pattern (verified: zero all-gathers)
+                use_kernel=(False if opts.num_devices > 1 else None),
             )
         else:
             raise ValueError(
@@ -187,9 +191,17 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
                 unpad_vector,
             )
 
-            mesh = make_row_mesh(opts.num_devices)
-            hier = shard_structured_hierarchy(hier, mesh)
-            pad_info = (prob.n, prob.n)  # no padding on the structured path
+            if prob.n % opts.num_devices == 0:
+                mesh = make_row_mesh(opts.num_devices)
+                hier = shard_structured_hierarchy(hier, mesh)
+                pad_info = (prob.n, prob.n)  # no padding, structured path
+            else:
+                print(
+                    f"warning: n={prob.n} not divisible by "
+                    f"{opts.num_devices} devices — structured hierarchy "
+                    "runs replicated (choose grid sizes with "
+                    "n % num_devices == 0 to shard)"
+                )
     elif opts.num_devices > 1:
         from amg_tpu.parallel import make_row_mesh
         from amg_tpu.parallel.dist import (

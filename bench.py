@@ -140,6 +140,7 @@ def main():
         aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s)
     aux_vcycle(smoke, dtype)
     aux_bsr(smoke, dtype)
+    aux_dia_elasticity(smoke, dtype)
 
     print(
         json.dumps(
@@ -330,6 +331,113 @@ def aux_bsr(smoke, dtype):
         }))
     except Exception as e:
         print(json.dumps({"metric": "bsr_spmv_nnz_per_s", "error": str(e)[:200]}))
+
+
+def aux_dia_elasticity(smoke, dtype):
+    """BASELINE config 4 (elasticity): DIA generalized-diagonal SpMV rate
+    through the fused Pallas var-stencil kernel (99 diagonals, zero
+    gathers), plus the full V(2,2)-PCG solve through the all-DIA geometric
+    hierarchy. Timing = direct-chain slope between two chain lengths
+    (short-chain marginal estimates are unreliable on the relay backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from amg_tpu.problems.elasticity import elasticity_beam
+    from amg_tpu.setup.structured import (
+        build_dia_structured_hierarchy,
+        csr_to_dia_stencil,
+    )
+    from amg_tpu.smooth import SmootherType
+    from amg_tpu.solve import CycleConfig, CycleType, solve
+
+    try:
+        nx, ny, nz = (16, 2, 2) if smoke else (96, 12, 12)
+        prob = elasticity_beam(nx=nx, ny=ny, nz=nz, bc="identity")
+        on_tpu = jax.default_backend() != "cpu"
+        vs = csr_to_dia_stencil(prob.A, prob.grid_shape, dtype)
+        if on_tpu:
+            from amg_tpu.setup.structured import DiaKernelOperator
+
+            op = DiaKernelOperator.try_from_var_stencil(vs) or vs
+        else:
+            op = vs
+
+        @jax.jit
+        def mv(o, v):
+            return o @ v
+
+        x = jnp.asarray(
+            np.random.default_rng(0).random(prob.n), dtype=dtype
+        )
+        jax.block_until_ready(mv(op, x))
+
+        def chained(k):
+            zz = x
+            t0 = time.perf_counter()
+            for _ in range(k):
+                zz = mv(op, zz)
+            jax.block_until_ready(zz)
+            return time.perf_counter() - t0
+
+        k0, k1 = (2, 10) if smoke else (30, 150)
+        t0 = min(chained(k0) for _ in range(2))
+        t1 = min(chained(k1) for _ in range(2))
+        per = max((t1 - t0) / (k1 - k0), 1e-12)
+        print(json.dumps({
+            "metric": "dia_spmv_nnz_per_s",
+            "value": prob.A.nnz / per,
+            "unit": "nnz/s",
+            "n": prob.n,
+            "kernel": type(op).__name__,
+        }))
+
+        # full solve through the all-DIA geometric hierarchy
+        npts = (nx + 1, ny + 1, nz + 1)
+        _, hier = build_dia_structured_hierarchy(
+            prob.A, npts, num_functions=3, dtype=dtype
+        )
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI,
+            num_pre_sweeps=2, num_post_sweeps=2,
+        )
+        b = jnp.asarray(
+            np.asarray(prob.rhs) / np.linalg.norm(prob.rhs), dtype=dtype
+        )
+
+        def run(mc):
+            res = solve(hier, cfg, b, tol=0.0, max_cycles=mc, outer="pcg")
+            jax.block_until_ready(res.x)
+            return res
+
+        res = solve(hier, cfg, b, tol=1e-5, max_cycles=40, outer="pcg")
+        jax.block_until_ready(res.x)
+        mc0, mc1 = (2, 5) if smoke else (4, 11)
+        for mc in (mc0, mc1):
+            run(mc)
+
+        def best(mc, reps=3):
+            t_best = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run(mc)
+                t_best = min(t_best, time.perf_counter() - t0)
+            return t_best
+
+        per_cycle = (best(mc1) - best(mc0)) / (mc1 - mc0)
+        if per_cycle <= 0:
+            per_cycle = best(mc1) / mc1
+        print(json.dumps({
+            "metric": "elasticity_vcycle_ms",
+            "value": per_cycle * 1e3,
+            "unit": "ms/cycle",
+            "cycles": int(res.iters),
+            "rel_res": float(res.rel_resnorm),
+            "n": prob.n,
+        }))
+    except Exception as e:
+        print(json.dumps({
+            "metric": "dia_spmv_nnz_per_s", "error": str(e)[:200]
+        }))
 
 
 if __name__ == "__main__":

@@ -170,3 +170,31 @@ class TestDiaStructuredHierarchy:
             problem="vardifconv", n=16, hierarchy="structured",
         ))
         assert st.rel_resnorm <= 1e-8
+
+    def test_sharded_dia_elasticity_8dev(self):
+        """BASELINE config 4: multi-chip row-partitioned elasticity V-cycle
+        through the sharded DIA geometric hierarchy. GSPMD inserts
+        boundary-plane collective-permutes (verified zero all-gathers for
+        the pad+shift pattern); convergence must match the problem class."""
+        from amg_tpu.utils.config import SolverOptions
+        from amg_tpu.utils.runner import run_experiment
+
+        st = run_experiment(SolverOptions(
+            problem="elasticity", nx=31, ny=4, nz=4, elast_bc="identity",
+            hierarchy="structured", num_smooth_sweeps=2, outer_solver="pcg",
+            num_devices=8,
+        ))
+        assert st.rel_resnorm <= 1e-8
+        assert st.cycles <= 60
+
+    def test_sharded_dia_nondivisible_falls_back(self):
+        """Non-divisible sizes run replicated with a warning, not a crash."""
+        from amg_tpu.utils.config import SolverOptions
+        from amg_tpu.utils.runner import run_experiment
+
+        st = run_experiment(SolverOptions(
+            problem="elasticity", nx=16, ny=4, nz=4, elast_bc="identity",
+            hierarchy="structured", num_smooth_sweeps=2, outer_solver="pcg",
+            num_devices=8,
+        ))
+        assert st.rel_resnorm <= 1e-8
