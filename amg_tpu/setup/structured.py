@@ -520,12 +520,27 @@ def csr_to_dia_stencil(
         axis=1,
     )
     delta = cmulti - rmulti
-    uniq, tidx = np.unique(delta, axis=0, return_inverse=True)
-    if len(uniq) > max_offsets:
+    # scalar-encode the offset triples so the census is a 1-D unique (a
+    # lexicographic unique over 10M+ rows costs minutes; this is seconds)
+    enc_base = np.asarray(
+        [2 * int(s) + 1 for s in grid_shape], dtype=np.int64
+    )
+    enc = np.zeros(delta.shape[0], dtype=np.int64)
+    for d in range(nd):
+        enc = enc * enc_base[d] + (delta[:, d] + int(grid_shape[d]))
+    uniq_enc, tidx = np.unique(enc, return_inverse=True)
+    if len(uniq_enc) > max_offsets:
         raise ValueError(
-            f"operator needs {len(uniq)} generalized diagonals "
+            f"operator needs {len(uniq_enc)} generalized diagonals "
             f"(> {max_offsets}): not translation-structured on {grid_shape}"
         )
+    # decode back to offset tuples (ascending encoded order is the same
+    # lexicographic order np.unique(axis=0) produced)
+    uniq = np.zeros((len(uniq_enc), nd), dtype=np.int64)
+    rem = uniq_enc.copy()
+    for d in range(nd - 1, -1, -1):
+        uniq[:, d] = rem % enc_base[d] - int(grid_shape[d])
+        rem //= enc_base[d]
     coeffs = np.zeros((len(uniq), n), dtype=SETUP_DTYPE)
     coeffs[tidx, rows] = A.data
     return VarStencilOperator(
