@@ -32,3 +32,13 @@ def ivaxpy(x, scale, y):
     """x + y/scale elementwise — the reference's IVAXPY
     (reference: src/DMEM_Misc.cpp:477-492)."""
     return x + y / scale
+
+
+def residual(A, u, f):
+    """r = f - A u, dispatched to the operator's fused residual kernel when
+    it has one (DIA device operators stream f through the matvec launch);
+    reference: hypre_ParCSRMatrixMatvecOutOfPlace residual form
+    (src/DMEM_Mult.cpp:134-141)."""
+    if hasattr(A, "residual"):
+        return A.residual(u, f)
+    return f - (A @ u)

@@ -209,24 +209,74 @@ class DiaKernelOperator:
     def diagonal(self) -> jnp.ndarray:
         return self.diag
 
-    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        from amg_tpu.ops.pallas_var_stencil import (
-            var_from_padded,
-            var_stencil_kernel_padded,
-            var_to_padded,
-        )
+    @property
+    def _pg(self):
+        return tuple(self.grid_shape[a] for a in self.perm)
 
-        perm = self.perm
-        pg = tuple(self.grid_shape[a] for a in perm)
-        g = jnp.transpose(x.reshape(self.grid_shape), perm).reshape(-1)
-        xp = var_to_padded(g, pg, self.halos, self.slab)
+    def _to_kernel(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Flat vector → padded kernel layout (permuted axes + zero shell)."""
+        from amg_tpu.ops.pallas_var_stencil import var_to_padded
+
+        g = jnp.transpose(x.reshape(self.grid_shape), self.perm).reshape(-1)
+        return var_to_padded(g, self._pg, self.halos, self.slab)
+
+    def _from_kernel(self, xp: jnp.ndarray) -> jnp.ndarray:
+        """Padded kernel layout → flat vector (original axis order)."""
+        from amg_tpu.ops.pallas_var_stencil import var_from_padded
+
+        y = var_from_padded(xp, self._pg, self.halos).reshape(self._pg)
+        return jnp.transpose(y, tuple(np.argsort(self.perm))).reshape(-1)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        from amg_tpu.ops.pallas_var_stencil import var_stencil_kernel_padded
+
         yp = var_stencil_kernel_padded(
-            xp, self.c_pad, self.offsets, pg,
+            self._to_kernel(x), self.c_pad, self.offsets, self._pg,
             mode="spmv", slab=self.slab,
         )
-        y = var_from_padded(yp, pg, self.halos).reshape(pg)
-        inv = tuple(np.argsort(perm))
-        return jnp.transpose(y, inv).reshape(x.shape)
+        return self._from_kernel(yp).reshape(x.shape)
+
+    def residual(self, u: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Fused r = b - A u: one kernel launch streaming b alongside the
+        matvec (saves the separate HBM subtraction pass and a dispatch)."""
+        from amg_tpu.ops.pallas_var_stencil import var_stencil_kernel_padded
+
+        rp = var_stencil_kernel_padded(
+            self._to_kernel(u), self.c_pad, self.offsets, self._pg,
+            b_pad=self._to_kernel(b), mode="residual", slab=self.slab,
+        )
+        return self._from_kernel(rp).reshape(u.shape)
+
+    def fused_jacobi_sweeps(
+        self,
+        u: jnp.ndarray,
+        f: jnp.ndarray,
+        inv_wscale: jnp.ndarray,
+        num_sweeps: int,
+        zero_guess: bool = False,
+    ) -> jnp.ndarray:
+        """num_sweeps fused (w)Jacobi/L1-Jacobi sweeps u ← u + s·(f − A u)
+        with streamed per-point scale s = inv_wscale: ONE pad/unpad pair
+        around the whole chain and one kernel launch per sweep (vs the
+        generic path's matvec launch + 2 vector passes + pad/unpad per
+        sweep). The kernel's sweep mode re-zeroes the shell every launch, so
+        chained iterates stay in the valid padded layout. Identical numerics
+        to smoothers._one_sweep for JACOBI/L1_JACOBI (the reference's
+        production relaxation, src/SMEM_Smooth.cpp:18-116)."""
+        from amg_tpu.ops.pallas_var_stencil import var_stencil_kernel_padded
+
+        n = self.n_rows
+        bp = self._to_kernel(f)
+        sp_ = self._to_kernel(
+            jnp.broadcast_to(jnp.asarray(inv_wscale, f.dtype), (n,))
+        )
+        up = jnp.zeros_like(bp) if zero_guess else self._to_kernel(u)
+        for _ in range(int(num_sweeps)):
+            up = var_stencil_kernel_padded(
+                up, self.c_pad, self.offsets, self._pg,
+                b_pad=bp, scale_pad=sp_, mode="sweep", slab=self.slab,
+            )
+        return self._from_kernel(up).reshape(f.shape)
 
     def __matmul__(self, x):
         return self.matvec(x)

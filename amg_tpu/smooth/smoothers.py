@@ -205,6 +205,16 @@ def smooth(
     zero_guess: bool = False,
 ):
     """Run `num_sweeps` smoothing sweeps (num_sweeps is static → unrolled)."""
+    if (
+        num_sweeps > 0
+        and smoother in (SmootherType.JACOBI, SmootherType.L1_JACOBI)
+        and hasattr(A, "fused_jacobi_sweeps")
+    ):
+        # DIA device operators fuse the whole chain: one pad/unpad pair and
+        # one sweep-mode kernel launch per sweep (streamed per-point scale)
+        return A.fused_jacobi_sweeps(
+            u, f, sm.inv_wscale, num_sweeps, zero_guess=zero_guess
+        )
     for s in range(num_sweeps):
         u = _one_sweep(A, sm, smoother, u, f, zero_guess and s == 0)
     return u

@@ -33,6 +33,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 
 from amg_tpu.setup.hierarchy import Hierarchy
+from amg_tpu.ops.vector import residual
 from amg_tpu.smooth import SmootherType, smooth, smooth_transpose
 
 
@@ -97,7 +98,7 @@ def mult_vcycle(
             num_sweeps=cfg.num_pre_sweeps, zero_guess=(k > 0),
         )
         xs[k] = u
-        r = fs[k] - lv.A @ u
+        r = residual(lv.A, u, fs[k])
         fs.append(lv.R @ r)
         xs.append(None)  # coarse initial guess is zero (zero_guess path)
     # coarsest
@@ -234,7 +235,7 @@ def additive_correction(
             )
         e = hier.levels[k].P @ u_coarse
         lv = hier.levels[k]
-        r_fine = rk - lv.A @ e
+        r_fine = residual(lv.A, e, rk)
         u_fine = smooth(
             lv.A, lv.sm, cfg.smoother,
             jnp.zeros_like(r_fine), r_fine,
@@ -250,7 +251,7 @@ def sync_additive_cycle(
     """One synchronous additive cycle: x += sum_k c_k(b - A x)
     (reference: DMEM_SyncAdd/DMEM_SyncAddCycle, src/DMEM_Mult.cpp:263-450)."""
     A0 = hier.levels[0].A
-    r = b - A0 @ x
+    r = residual(A0, x, b)
     c = jnp.zeros_like(x)
     for k in range(hier.num_levels):
         c = c + additive_correction(hier, cfg, r, k)
@@ -286,7 +287,7 @@ def mult_multadd_vcycle(
             num_sweeps=cfg.num_pre_sweeps, zero_guess=(k > 0),
         )
         xs[k] = u
-        r = fs[k] - lv.A @ u
+        r = residual(lv.A, u, fs[k])
         fs.append(lv.R @ r)
         xs.append(None)
     # coarse solve at level cml: num_inner_cycles synchronous additive

@@ -18,6 +18,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from amg_tpu.ops.vector import residual
 from amg_tpu.solve.accel import (
     ChebyCoeffs,
     cheby_init,
@@ -46,7 +47,7 @@ class SolveResult(NamedTuple):
 def _solve_loop(hier, cfg: CycleConfig, b, x0, tol, max_cycles, accel,
                 coeffs, no_resnorm=False):
     A0 = hier.levels[0].A
-    r0 = b - A0 @ x0
+    r0 = residual(A0, x0, b)
     r0norm = jnp.linalg.norm(r0)
     safe_r0 = jnp.where(r0norm == 0.0, 1.0, r0norm)
     hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=b.dtype)
@@ -70,7 +71,7 @@ def _solve_loop(hier, cfg: CycleConfig, b, x0, tol, max_cycles, accel,
             return (x_new, ch)
 
         x, _ = jax.lax.fori_loop(0, max_cycles, body_fixed, (x0, cheby0))
-        relnorm = jnp.linalg.norm(b - A0 @ x) / safe_r0
+        relnorm = jnp.linalg.norm(residual(A0, x, b)) / safe_r0
         hist = hist0.at[max_cycles].set(relnorm)
         return SolveResult(
             x=x, iters=jnp.asarray(max_cycles, jnp.int32),
@@ -92,7 +93,7 @@ def _solve_loop(hier, cfg: CycleConfig, b, x0, tol, max_cycles, accel,
             u = x_new - x  # the cycle's raw additive correction
             ch = cheby_update(ch, u, coeffs, richardson=(accel == "richardson"))
             x_new = x + ch.d
-        r = b - A0 @ x_new
+        r = residual(A0, x_new, b)
         relnorm = jnp.linalg.norm(r) / safe_r0
         hist = hist.at[it + 1].set(relnorm)
         return (x_new, ch, it + 1, relnorm, hist)

@@ -198,3 +198,61 @@ class TestDiaStructuredHierarchy:
             num_devices=8,
         ))
         assert st.rel_resnorm <= 1e-8
+
+
+class TestDiaFusedSmoother:
+    """Fused kernel-path smoother/residual on DiaKernelOperator: exact
+    parity with the generic smoothers path (interpret mode on CPU)."""
+
+    def _ops(self, nx=6, ny=3, nz=3):
+        from amg_tpu.setup.structured import DiaKernelOperator
+
+        prob = elasticity_beam(nx=nx, ny=ny, nz=nz, bc="identity")
+        vs = csr_to_dia_stencil(prob.A, prob.grid_shape, jnp.float64)
+        op = DiaKernelOperator.from_var_stencil(vs)
+        return prob, vs, op
+
+    def test_fused_residual_parity(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.ops.vector import residual
+
+        prob, vs, op = self._ops()
+        rng = np.random.default_rng(1)
+        u = jnp.asarray(rng.random(prob.A.n_rows))
+        b = jnp.asarray(rng.random(prob.A.n_rows))
+        with pltpu.force_tpu_interpret_mode():
+            r = residual(op, u, b)
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(b - (vs @ u)), atol=1e-12
+        )
+
+    @pytest.mark.parametrize("zero_guess", [False, True])
+    def test_fused_jacobi_sweeps_parity(self, zero_guess):
+        """smooth() dispatches DiaKernelOperator to the fused kernel chain;
+        numerics must match the generic _one_sweep chain exactly."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.smooth import SmootherType, smooth
+        from amg_tpu.smooth.smoothers import make_smoother_data
+
+        prob, vs, op = self._ops()
+        sm = make_smoother_data(
+            prob.A, SmootherType.L1_JACOBI, w=0.8, dtype=jnp.float64
+        )
+        rng = np.random.default_rng(2)
+        u = jnp.asarray(rng.random(prob.A.n_rows))
+        f = jnp.asarray(rng.random(prob.A.n_rows))
+        ref = smooth(
+            vs, sm, SmootherType.L1_JACOBI, u, f,
+            num_sweeps=3, zero_guess=zero_guess,
+        )
+        assert hasattr(op, "fused_jacobi_sweeps")
+        with pltpu.force_tpu_interpret_mode():
+            got = smooth(
+                op, sm, SmootherType.L1_JACOBI, u, f,
+                num_sweeps=3, zero_guess=zero_guess,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-12
+        )
