@@ -404,28 +404,33 @@ def aux_dia_elasticity(smoke, dtype):
             np.asarray(prob.rhs) / np.linalg.norm(prob.rhs), dtype=dtype
         )
 
-        def run(mc):
-            res = solve(hier, cfg, b, tol=0.0, max_cycles=mc, outer="pcg")
-            jax.block_until_ready(res.x)
-            return res
-
+        # convergence record: the full PCG-wrapped solve to 1e-5
         res = solve(hier, cfg, b, tol=1e-5, max_cycles=40, outer="pcg")
         jax.block_until_ready(res.x)
-        mc0, mc1 = (2, 5) if smoke else (4, 11)
-        for mc in (mc0, mc1):
-            run(mc)
 
-        def best(mc, reps=3):
-            t_best = 1e9
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                run(mc)
-                t_best = min(t_best, time.perf_counter() - t0)
-            return t_best
+        # per-cycle cost by direct-chain slope over the jitted cycle (the
+        # same methodology as every other metric here: dependent chained
+        # launches, result materialized — solve()-call slopes are swamped
+        # by the relay backend's ~2 s fixed per-call dispatch overhead and
+        # produced 20x run-to-run swings)
+        from amg_tpu.solve.cycles import cycle_step
 
-        per_cycle = (best(mc1) - best(mc0)) / (mc1 - mc0)
-        if per_cycle <= 0:
-            per_cycle = best(mc1) / mc1
+        cyc = jax.jit(lambda h, x_, b_: cycle_step(h, cfg, x_, b_))
+        x0 = jnp.zeros_like(b)
+        jax.block_until_ready(cyc(hier, x0, b))
+
+        def chain(k):
+            z = x0
+            t0 = time.perf_counter()
+            for _ in range(k):
+                z = cyc(hier, z, b)
+            jax.block_until_ready(z)
+            return time.perf_counter() - t0
+
+        k0, k1 = (3, 10) if smoke else (20, 100)
+        ta = min(chain(k0) for _ in range(3))
+        tb = min(chain(k1) for _ in range(3))
+        per_cycle = max((tb - ta) / (k1 - k0), 1e-12)
         print(json.dumps({
             "metric": "elasticity_vcycle_ms",
             "value": per_cycle * 1e3,
