@@ -466,11 +466,18 @@ def _structured_P_csr(fine_shape, coarse_shape) -> CSRMatrix:
     per_axis = []
     for d in range(nd):
         f = fidx[:, d]
-        even = f % 2 == 0
         opts = []  # list of (cidx array, weight array, valid mask)
-        opts.append((f // 2, np.where(even, 1.0, 0.5), even | (f // 2 >= 0)))
-        opts.append(((f + 1) // 2, np.where(even, 0.0, 0.5),
-                     (~even) & ((f + 1) // 2 < coarse_shape[d])))
+        if coarse_shape[d] == fine_shape[d]:
+            # uncoarsened (semicoarsening) axis: identity transfer
+            opts.append((f, np.ones(nf), np.ones(nf, dtype=bool)))
+            opts.append((f, np.zeros(nf), np.zeros(nf, dtype=bool)))
+        else:
+            even = f % 2 == 0
+            opts.append(
+                (f // 2, np.where(even, 1.0, 0.5), even | (f // 2 >= 0))
+            )
+            opts.append(((f + 1) // 2, np.where(even, 0.0, 0.5),
+                         (~even) & ((f + 1) // 2 < coarse_shape[d])))
         per_axis.append(opts)
     for combo in itertools.product(range(2), repeat=nd):
         w = np.ones(nf)
@@ -692,13 +699,37 @@ def build_dia_structured_hierarchy(
         hh.levels.append(hl)
         sm = make_smoother_data(A_csr, smoother, w=hl.weight, dtype=dtype)
         n = A_csr.n_rows
-        if n <= max_coarse_size or lvl == max_levels - 1 or min(ns) < 5:
+        mask_f = _identity_row_mask(A_csr.to_scipy())
+        # Nesting guard: on identity-BC FEM grids (clamped dofs present ⇒
+        # free faces exist) the vertex-centered transfer is an exact Q1
+        # embedding ONLY for odd axis sizes (sf = 2 sc − 1). Halving an
+        # EVEN axis leaves the last fine node covered by a single 0.5
+        # entry — P stops reproducing constants on free faces, the
+        # rigid-body near-nullspace escapes range(P), and the V-cycle
+        # rate degrades to ~1 (observed: 145×19×19 beam stalled at 0.99
+        # once the 19→10→5 chain crossed even). Even axes therefore stay
+        # uncoarsened (identity 1-D transfer = semicoarsening); stop when
+        # no axis can coarsen. Eliminated-boundary operators (no identity
+        # rows) keep plain halving: the constant defect sits on Dirichlet
+        # rows where the error is identically zero.
+        if mask_f.any():
+            cns_try = tuple(
+                (s + 1) // 2 if s % 2 == 1 else s for s in ns
+            )
+        else:
+            cns_try = _coarse_shape(ns)
+        if (
+            n <= max_coarse_size
+            or lvl == max_levels - 1
+            or min(ns) < 5
+            or cns_try == ns
+        ):
             dev_levels.append(
                 Level(A=A_dev, P=None, R=None, P_s=None, R_s=None,
                       R_inj=None, sm=sm)
             )
             break
-        cns = _coarse_shape(ns)
+        cns = cns_try
         Ps = _structured_P_csr(ns, cns).to_scipy()
         if d > 1:
             Ps = sp.kron(Ps, sp.eye(d), format="csr")

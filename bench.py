@@ -351,7 +351,10 @@ def aux_dia_elasticity(smoke, dtype):
     from amg_tpu.solve import CycleConfig, CycleType, solve
 
     try:
-        nx, ny, nz = (16, 2, 2) if smoke else (96, 12, 12)
+        # big enough that the coefficient stream dominates the relay's
+        # per-dispatch jitter (the 49k-dof beam read 18-100 Gnnz/s run to
+        # run; at 157k dofs the kernel is ~200 us vs ~30 us dispatch)
+        nx, ny, nz = (16, 2, 2) if smoke else (144, 18, 18)
         prob = elasticity_beam(nx=nx, ny=ny, nz=nz, bc="identity")
         on_tpu = jax.default_backend() != "cpu"
         vs = csr_to_dia_stencil(prob.A, prob.grid_shape, dtype)
@@ -390,6 +393,37 @@ def aux_dia_elasticity(smoke, dtype):
             "n": prob.n,
             "kernel": type(op).__name__,
         }))
+
+        # fused smoother sweep rate (round-3 dispatch: sweep-mode launch
+        # with streamed per-point scale, one pad/unpad around the chain)
+        if hasattr(op, "fused_jacobi_sweeps"):
+            s = jnp.asarray(
+                np.random.default_rng(1).random(prob.n), dtype=dtype
+            )
+
+            @jax.jit
+            def sw(o, v):
+                return o.fused_jacobi_sweeps(v, x, s, 1)
+
+            jax.block_until_ready(sw(op, x))
+
+            def chained_sw(k):
+                zz = x
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    zz = sw(op, zz)
+                jax.block_until_ready(zz)
+                return time.perf_counter() - t0
+
+            t0 = min(chained_sw(k0) for _ in range(2))
+            t1 = min(chained_sw(k1) for _ in range(2))
+            per = max((t1 - t0) / (k1 - k0), 1e-12)
+            print(json.dumps({
+                "metric": "dia_sweep_nnz_per_s",
+                "value": prob.A.nnz / per,
+                "unit": "nnz/s",
+                "n": prob.n,
+            }))
 
         # full solve through the all-DIA geometric hierarchy
         npts = (nx + 1, ny + 1, nz + 1)
