@@ -227,7 +227,9 @@ def _var_kernel(
         for dz, dy, t in taps:
             ro = FR + (hz + dz) * Yr + dy
             blk = shifted[ro : ro + T * Yr, :].reshape(T, Yr, Xr)
-            term = cbufs[k_cur, t] * blk
+            # coefficient planes may stream at a narrower dtype (bf16):
+            # convert on the VPU, accumulate at the operand precision
+            term = cbufs[k_cur, t].astype(ubufs.dtype) * blk
             partial = term if partial is None else partial + term
         # accumulate through acc_ref so at most ~2 slab temporaries are
         # live (Mosaic's scoped-VMEM accounting sums live temporaries)
@@ -302,7 +304,7 @@ def _var_stencil_impl(
         out_specs=blk(),
         scratch_shapes=[
             pltpu.VMEM((2, T + 2 * hz, Yr, Xr), u_pad.dtype),
-            pltpu.VMEM((2, m, T, Yr, Xr), u_pad.dtype),
+            pltpu.VMEM((2, m, T, Yr, Xr), c_pad.dtype),
             pltpu.VMEM((T, Yr, Xr), u_pad.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

@@ -112,17 +112,35 @@ class DiaKernelOperator:
     halos: Tuple[int, ...]  # static, permuted
     slab: int  # static
     perm: Tuple[int, ...] = (0, 1, 2)  # axis permutation original→kernel
+    # optional narrow-precision copy of the coefficient planes used ONLY by
+    # the smoother sweep chain (with_sweep_dtype): the 99-plane coefficient
+    # stream is the irreducible per-sweep HBM cost, so bf16 halves sweep
+    # traffic; matvec/residual (the operators convergence is measured
+    # against) keep the full-precision planes
+    c_sweep: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        return (self.c_pad, self.diag), (
+        return (self.c_pad, self.diag, self.c_sweep), (
             self.offsets, self.grid_shape, self.halos, self.slab, self.perm
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(c_pad=children[0], diag=children[1], offsets=aux[0],
-                   grid_shape=aux[1], halos=aux[2], slab=aux[3],
-                   perm=aux[4])
+        return cls(c_pad=children[0], diag=children[1], c_sweep=children[2],
+                   offsets=aux[0], grid_shape=aux[1], halos=aux[2],
+                   slab=aux[3], perm=aux[4])
+
+    def with_sweep_dtype(self, dtype) -> "DiaKernelOperator":
+        """Copy of the operator whose fused_jacobi_sweeps streams the
+        coefficient planes at `dtype` (e.g. jnp.bfloat16). A perturbed
+        smoother is still a valid smoother — the perturbation is O(2^-8)
+        relative on each matrix entry — while residuals/matvecs stay exact,
+        so outer convergence is measured against the true operator."""
+        import dataclasses
+
+        if dtype is None or jnp.dtype(dtype) == self.c_pad.dtype:
+            return self
+        return dataclasses.replace(self, c_sweep=self.c_pad.astype(dtype))
 
     # usable scoped-VMEM budget for the kernel's buffers (16 MB total on
     # the target, leave headroom for Mosaic temporaries)
@@ -271,9 +289,10 @@ class DiaKernelOperator:
             jnp.broadcast_to(jnp.asarray(inv_wscale, f.dtype), (n,))
         )
         up = jnp.zeros_like(bp) if zero_guess else self._to_kernel(u)
+        c_sw = self.c_pad if self.c_sweep is None else self.c_sweep
         for _ in range(int(num_sweeps)):
             up = var_stencil_kernel_padded(
-                up, self.c_pad, self.offsets, self._pg,
+                up, c_sw, self.offsets, self._pg,
                 b_pad=bp, scale_pad=sp_, mode="sweep", slab=self.slab,
             )
         return self._from_kernel(up).reshape(f.shape)
@@ -621,6 +640,7 @@ def build_dia_structured_hierarchy(
     smooth_weight=None,
     max_offsets: int = 256,
     use_kernel: bool | None = None,
+    sweep_coef_dtype=None,
 ):
     """Geometric hierarchy for a VARIABLE-coefficient operator on a
     structured node grid with `num_functions` interleaved dofs per node —
@@ -674,7 +694,11 @@ def build_dia_structured_hierarchy(
         if not use_kernel:
             return vs
         op = DiaKernelOperator.try_from_var_stencil(vs)
-        return vs if op is None else op
+        if op is None:
+            return vs
+        if sweep_coef_dtype is not None:
+            op = op.with_sweep_dtype(sweep_coef_dtype)
+        return op
 
     hh = HostHierarchy(params=params)
     node_shapes = [tuple(node_shape)]
@@ -741,11 +765,15 @@ def build_dia_structured_hierarchy(
         mask_f = _identity_row_mask(A_csr.to_scipy())
         if mask_f.any():
             keep_f = sp.diags((~mask_f).astype(np.float64))
-            # coarse clamped mask by injection: coarse node i sits on fine
-            # node 2i, so it inherits that dof's Dirichlet status
+            # coarse clamped mask by injection: along a coarsened axis the
+            # coarse node i sits on fine node 2i; a semicoarsened (identity)
+            # axis keeps every node, so its stride is 1
             mask_c = (
                 mask_f.reshape(ns + (d,))[
-                    tuple(slice(None, None, 2) for _ in ns)
+                    tuple(
+                        slice(None, None, 2 if cns[ax] < ns[ax] else 1)
+                        for ax in range(len(ns))
+                    )
                 ].reshape(-1)
             )
             keep_c = sp.diags((~mask_c).astype(np.float64))

@@ -256,3 +256,28 @@ class TestDiaFusedSmoother:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=1e-12
         )
+
+    def test_bf16_sweep_coefficient_stream(self):
+        """with_sweep_dtype(bf16): the smoother sweep streams bf16
+        coefficient planes (matvec/residual keep f32/f64) — the result must
+        equal the full-precision sweep to bf16 rounding of the matrix
+        entries, and matvec must be untouched."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        prob, vs, op = self._ops()
+        opb = op.with_sweep_dtype(jnp.bfloat16)
+        assert opb.c_sweep is not None and opb.c_sweep.dtype == jnp.bfloat16
+        rng = np.random.default_rng(3)
+        u = jnp.asarray(rng.random(prob.A.n_rows))
+        f = jnp.asarray(rng.random(prob.A.n_rows))
+        s = jnp.asarray(
+            1.0 / np.maximum(np.asarray(op.diag), 1e-12)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            a = op.fused_jacobi_sweeps(u, f, s, 1)
+            b = opb.fused_jacobi_sweeps(u, f, s, 1)
+            mv32 = op.matvec(u)
+            mvb = opb.matvec(u)
+        rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+        assert 0.0 < rel < 1e-2  # bf16 rounding scale, not garbage
+        np.testing.assert_array_equal(np.asarray(mv32), np.asarray(mvb))
