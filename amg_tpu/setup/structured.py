@@ -311,6 +311,22 @@ def _axis_transfer_np(sf: int, sc: int) -> np.ndarray:
         # untouched axis (e.g. the component axis of an interleaved vector
         # field): the transfer is the identity
         return np.eye(sf)
+    if sf == 2 * sc - 2:
+        # EVEN fine axis, graded-end coarsening (sc = sf/2 + 1): coarse
+        # nodes sit on fine nodes {0, 2, …, sf-2, sf-1} — the last coarse
+        # interval has length 1 instead of 2. Every fine row still sums to
+        # 1, so constants (and rigid-body modes on FEM grids) stay in
+        # range(P) — the property plain halving of an even axis loses (its
+        # last fine node is covered by a single 0.5 entry), which is what
+        # stalled the identity-BC elasticity V-cycle at rate ~0.99.
+        S = np.zeros((sf, sc))
+        c = np.arange(sc - 1)
+        S[2 * c, c] = 1.0
+        S[sf - 1, sc - 1] = 1.0
+        odd = np.arange(1, sf - 1, 2)
+        S[odd, odd // 2] = 0.5
+        S[odd, odd // 2 + 1] = 0.5
+        return S
     S = np.zeros((sf, sc))
     c = np.arange(sc)
     S[2 * c, c] = 1.0
@@ -490,6 +506,17 @@ def _structured_P_csr(fine_shape, coarse_shape) -> CSRMatrix:
             # uncoarsened (semicoarsening) axis: identity transfer
             opts.append((f, np.ones(nf), np.ones(nf, dtype=bool)))
             opts.append((f, np.zeros(nf), np.zeros(nf, dtype=bool)))
+        elif fine_shape[d] == 2 * coarse_shape[d] - 2:
+            # graded-end even-axis coarsening (matches _axis_transfer_np):
+            # coarse nodes on fine {0, 2, …, sf-2, sf-1}
+            sf, sc = fine_shape[d], coarse_shape[d]
+            last = f == sf - 1
+            even = (f % 2 == 0) | last
+            c1 = np.where(last, sc - 1, f // 2)
+            opts.append((c1, np.where(even, 1.0, 0.5),
+                         np.ones(nf, dtype=bool)))
+            opts.append((f // 2 + 1, np.where(even, 0.0, 0.5),
+                         (~even) & (f // 2 + 1 <= sc - 1)))
         else:
             even = f % 2 == 0
             opts.append(
@@ -724,21 +751,23 @@ def build_dia_structured_hierarchy(
         sm = make_smoother_data(A_csr, smoother, w=hl.weight, dtype=dtype)
         n = A_csr.n_rows
         mask_f = _identity_row_mask(A_csr.to_scipy())
-        # Nesting guard: on identity-BC FEM grids (clamped dofs present ⇒
-        # free faces exist) the vertex-centered transfer is an exact Q1
-        # embedding ONLY for odd axis sizes (sf = 2 sc − 1). Halving an
-        # EVEN axis leaves the last fine node covered by a single 0.5
-        # entry — P stops reproducing constants on free faces, the
-        # rigid-body near-nullspace escapes range(P), and the V-cycle
-        # rate degrades to ~1 (observed: 145×19×19 beam stalled at 0.99
-        # once the 19→10→5 chain crossed even). Even axes therefore stay
-        # uncoarsened (identity 1-D transfer = semicoarsening); stop when
-        # no axis can coarsen. Eliminated-boundary operators (no identity
-        # rows) keep plain halving: the constant defect sits on Dirichlet
-        # rows where the error is identically zero.
+        # On identity-BC FEM grids (clamped dofs present ⇒ free faces
+        # exist) the transfer must reproduce constants on free faces or the
+        # rigid-body near-nullspace escapes range(P) and the V-cycle rate
+        # degrades to ~1 (observed: 145×19×19 beam stalled at 0.99 once
+        # plain halving crossed an even axis — its last fine node is
+        # covered by a single 0.5 entry). Odd axes coarsen vertex-centered
+        # (sf = 2sc−1); EVEN axes coarsen with the graded-end transfer
+        # (sc = sf/2+1, coarse nodes on fine {0,2,…,sf−2,sf−1}), which
+        # keeps unit row sums — semicoarsening (skipping the axis) is NOT
+        # an option: it builds anisotropic coarse cells that point-Jacobi
+        # V-cycles stall on (measured: rel_res plateau 1e-3 at 40 PCG
+        # cycles on the 33×11×11 beam). Eliminated-boundary operators keep
+        # plain halving: their constant defect sits on Dirichlet rows where
+        # the error is identically zero.
         if mask_f.any():
             cns_try = tuple(
-                (s + 1) // 2 if s % 2 == 1 else s for s in ns
+                (s + 1) // 2 if s % 2 == 1 else s // 2 + 1 for s in ns
             )
         else:
             cns_try = _coarse_shape(ns)
@@ -765,17 +794,20 @@ def build_dia_structured_hierarchy(
         mask_f = _identity_row_mask(A_csr.to_scipy())
         if mask_f.any():
             keep_f = sp.diags((~mask_f).astype(np.float64))
-            # coarse clamped mask by injection: along a coarsened axis the
-            # coarse node i sits on fine node 2i; a semicoarsened (identity)
-            # axis keeps every node, so its stride is 1
-            mask_c = (
-                mask_f.reshape(ns + (d,))[
-                    tuple(
-                        slice(None, None, 2 if cns[ax] < ns[ax] else 1)
-                        for ax in range(len(ns))
-                    )
-                ].reshape(-1)
-            )
+            # coarse clamped mask by injection: coarse node c sits on the
+            # fine node of its 1-D position — 2c on an odd-coarsened axis,
+            # {0,2,…,sf−2,sf−1} on a graded-end even axis, c itself on an
+            # identity axis — so it inherits that dof's Dirichlet status
+            def _axis_pos(sf, sc):
+                if sf == sc:
+                    return np.arange(sf)
+                if sf == 2 * sc - 2:
+                    return np.append(np.arange(0, sf - 1, 2), sf - 1)
+                return 2 * np.arange(sc)
+
+            pos = [_axis_pos(ns[ax], cns[ax]) for ax in range(len(ns))]
+            pos.append(np.arange(d))
+            mask_c = mask_f.reshape(ns + (d,))[np.ix_(*pos)].reshape(-1)
             keep_c = sp.diags((~mask_c).astype(np.float64))
             Ps = (keep_f @ Ps @ keep_c).tocsr()
             Ps.eliminate_zeros()
