@@ -152,9 +152,62 @@ def matvec_comp(A, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return stencil_matvec_comp(A, x)
 
 
+def ds_scale_add(y: DS, alpha, x: DS) -> DS:
+    """y + alpha * x with f32 scalar alpha and DS vectors — the axpy of
+    the double-single Krylov recurrences (compensated product of the hi
+    part, plain product of the lo part)."""
+    p, pe = two_prod(alpha, x.hi)
+    s, e = two_sum(y.hi, p)
+    return ds_renorm(s, e + y.lo + pe + alpha * x.lo)
+
+
+def ds_dot(a: DS, b) -> jnp.ndarray:
+    """Compensated dot product of a DS vector with an f32 or DS vector,
+    returned as f32: Dekker TwoProd on the leading products, the error
+    terms and cross terms summed separately (each XLA tree-reduce keeps
+    ~eps*log n relative on its own magnitude scale)."""
+    if isinstance(b, DS):
+        p, pe = two_prod(a.hi, b.hi)
+        small = pe + a.hi * b.lo + a.lo * b.hi
+    else:
+        p, pe = two_prod(a.hi, b)
+        small = pe + a.lo * b
+    return jnp.sum(p) + jnp.sum(small)
+
+
+def ds_matvec(A, x: DS) -> DS:
+    """y = A x with DS x and an operator given as a single op or an
+    (A_hi, A_lo) double-single coefficient pair: compensated matvec of
+    the leading term, plain matvecs of the three small terms. Accurate to
+    ~f32 eps^2 relative — the matvec of the DS Krylov recurrences."""
+    if isinstance(A, tuple):
+        A_hi, A_lo = A
+        y_hi, y_err = matvec_comp(A_hi, x.hi)
+        small = y_err + (A_lo @ x.hi) + (A_hi @ x.lo)
+    else:
+        y_hi, y_err = matvec_comp(A, x.hi)
+        small = y_err + (A @ x.lo)
+    return ds_renorm(y_hi, small)
+
+
 def ds_residual(A, b: DS, x: DS) -> DS:
     """r = b - A x with x, b, r in double-single. A x evaluated as a
-    compensated matvec of hi plus a plain matvec of lo."""
+    compensated matvec of hi plus a plain matvec of lo.
+
+    A may be a single operator (f32 coefficients: r is exact wrt the
+    ROUNDED operator) or an (A_hi, A_lo) pair of operators whose f32
+    coefficient sum represents the f64 matrix (double-single operator:
+    r is then accurate wrt the TRUE operator — required when kappa(A) is
+    large enough that the 1e-7 coefficient rounding times ||x|| dominates
+    a converged residual, e.g. the 157k-dof elasticity beam)."""
+    if isinstance(A, tuple):
+        A_hi, A_lo = A
+        y_hi, y_err = matvec_comp(A_hi, x.hi)
+        # low-order terms need only plain f32 accuracy (each is ~1e-7 of
+        # the leading term; their own rounding is ~1e-14 relative)
+        y_small = (A_lo @ x.hi) + (A_hi @ x.lo)
+        s, e = two_sum(b.hi, -y_hi)
+        return ds_renorm(s, b.lo - y_err - y_small + e)
     y_hi, y_err = matvec_comp(A, x.hi)
     y_lo = A @ x.lo
     s, e = two_sum(b.hi, -y_hi)

@@ -139,7 +139,12 @@ class DiaKernelOperator:
         import dataclasses
 
         if dtype is None or jnp.dtype(dtype) == self.c_pad.dtype:
-            return self
+            # requesting full precision must also DROP any stale narrow
+            # copy, so the call is a true revert (not a no-op that leaves
+            # a previously-set bf16 stream active)
+            if self.c_sweep is None:
+                return self
+            return dataclasses.replace(self, c_sweep=None)
         return dataclasses.replace(self, c_sweep=self.c_pad.astype(dtype))
 
     # usable scoped-VMEM budget for the kernel's buffers (16 MB total on
@@ -590,7 +595,8 @@ def _csr_to_var_stencil(A: CSRMatrix, grid_shape, dtype) -> VarStencilOperator:
 
 
 def csr_to_dia_stencil(
-    A: CSRMatrix, grid_shape, dtype, max_offsets: int = 256
+    A: CSRMatrix, grid_shape, dtype, max_offsets: int = 256,
+    return_lo: bool = False,
 ) -> VarStencilOperator:
     """Re-express ANY translation-structured CSR operator on a logical grid
     as a variable stencil with a DISCOVERED offset set (generalized-diagonal
@@ -646,13 +652,27 @@ def csr_to_dia_stencil(
         rem //= enc_base[d]
     coeffs = np.zeros((len(uniq), n), dtype=SETUP_DTYPE)
     coeffs[tidx, rows] = A.data
-    return VarStencilOperator(
-        coeffs=jnp.asarray(
-            coeffs.reshape((len(uniq),) + tuple(grid_shape)), dtype=dtype
-        ),
-        offsets=tuple(tuple(int(v) for v in o) for o in uniq),
+    offsets = tuple(tuple(int(v) for v in o) for o in uniq)
+    shaped = coeffs.reshape((len(uniq),) + tuple(grid_shape))
+    vs = VarStencilOperator(
+        coeffs=jnp.asarray(shaped, dtype=dtype),
+        offsets=offsets,
         grid_shape=tuple(grid_shape),
     )
+    if not return_lo:
+        return vs
+    # double-single coefficient split: lo holds the f64→f32 rounding
+    # remainder, so (vs, vs_lo) together represent A to ~f64 accuracy —
+    # the accurate-operator pair for mixed-precision outer residuals
+    # (amg_tpu.solve.mixed.mixed_pcg / ops/ds.py::ds_residual)
+    c_hi = shaped.astype(np.float32)
+    c_lo = (shaped - c_hi.astype(np.float64)).astype(np.float32)
+    vs_lo = VarStencilOperator(
+        coeffs=jnp.asarray(c_lo),
+        offsets=offsets,
+        grid_shape=tuple(grid_shape),
+    )
+    return vs, vs_lo
 
 
 def build_dia_structured_hierarchy(

@@ -82,6 +82,137 @@ def mixed_solve(
     return fn(hier32, A32, cfg, b_ds, x0_ds, tol, max_cycles)
 
 
+def _ds_true_residual(A_acc, b_ds, x_ds):
+    """Jitted compensated true residual r = b - A x in double-single."""
+    from amg_tpu.ops.ds import ds_residual, ds_to_float
+
+    r = ds_residual(A_acc, b_ds, x_ds)
+    return r, jnp.linalg.norm(ds_to_float(r))
+
+
+def mixed_pcg(
+    hier32,
+    A_acc,
+    cfg: CycleConfig,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    tol: float = 1e-5,
+    max_cycles: int = 120,
+    inner_tol: float = 2.5e-2,
+    inner_iters: Optional[int] = None,
+    A_inner=None,
+) -> MixedSolveResult:
+    """Mixed-precision AMG-PCG: double-single iterative refinement around
+    AMG-preconditioned PCG whose matvec applies the DS operator pair.
+
+    On severely ill-conditioned operators (the 157k-dof elasticity beam,
+    kappa ~ 1e8: f32 PCG stalls at relative residual ~1e-1 while f64 PCG
+    converges in ~19 iterations — reference outer loop:
+    /root/reference/src/DMEM_Mult.cpp:13-93 with hypre PCG,
+    src/DMEM_Setup.cpp:129-167), two separate f32 rounding effects block
+    convergence to 1e-5:
+      (a) the Krylov recurrences' vector roundoff: with kappa*eps_f32 >~ 1
+          even the FIRST f32 correction has no correct digits, so neither
+          plain f32 PCG nor f32-inner refinement can converge — cured by
+          running the inner PCG entirely in DOUBLE-SINGLE state
+          (krylov.ds_pcg: DS x/r/p, compensated axpys and dots);
+      (b) the OPERATOR's own f32 coefficient rounding (1e-7 relative per
+          entry): an inner solve against the rounded operator stagnates at
+          ||dA||*||x|| — cured by applying the operator as a DOUBLE-SINGLE
+          COEFFICIENT PAIR (A_hi, A_lo) inside ds_pcg's matvec
+          (ops/ds.py::ds_matvec), accurate to ~1e-14.
+    The preconditioner (one f32 V-cycle on hier32) needs neither fix —
+    its quality only affects the iteration count, never the attainable
+    accuracy. The outer refinement loop remains as a cheap safety wrapper
+    (DS-measured true residual, restart on leftover gap).
+
+        x (double-single); repeat:
+            r  = b - A x            (compensated DS residual, ops/ds.py,
+                                     using the (A_hi, A_lo) pair)
+            e  = ds_pcg(A, M=V-cycle_f32, r)   to inner_tol
+            x += e                  (DS accumulation)
+
+    A_acc: operator for the accurate outer residual and inner matvec — an
+    (A_hi, A_lo) pair (preferred; each supporting the compensated matvec
+    dispatch of ops/ds.py: VarStencilOperator / ELL / BSR /
+    StencilOperator) or a single operator (then accuracy is wrt the
+    rounded operator). A_inner: optional override pair for the inner
+    matvec; defaults to A_acc.
+    Uniform DS implementation on CPU and TPU so tests exercise the device
+    code path exactly.
+    """
+    import numpy as np
+
+    from amg_tpu.ops.ds import DS, ds_add
+    from amg_tpu.solve.cycles import cycle_step
+    from amg_tpu.solve.krylov import ds_pcg
+
+    if A_inner is None:
+        A_inner = A_acc
+    b64 = np.asarray(b, dtype=np.float64)
+    b_ds = DS(
+        hi=jnp.asarray(b64.astype(np.float32)),
+        lo=jnp.asarray((b64 - b64.astype(np.float32)).astype(np.float32)),
+    )
+    if x0 is None:
+        x_ds = DS(hi=jnp.zeros_like(b_ds.hi), lo=jnp.zeros_like(b_ds.hi))
+    else:
+        x64 = np.asarray(x0, dtype=np.float64)
+        xh = x64.astype(np.float32)
+        x_ds = DS(hi=jnp.asarray(xh),
+                  lo=jnp.asarray((x64 - xh).astype(np.float32)))
+    if inner_iters is None:
+        inner_iters = max(8, min(40, max_cycles // 3))
+
+    def _inner(h_, Ai_, r_ds):
+        zero = DS(jnp.zeros_like(r_ds.hi), jnp.zeros_like(r_ds.hi))
+        return ds_pcg(
+            Ai_,
+            lambda rr: cycle_step(h_, cfg, jnp.zeros_like(rr), rr),
+            r_ds,
+            zero,
+            tol=inner_tol,
+            max_iters=inner_iters,
+        )
+
+    inner = jax.jit(_inner)
+    tres = jax.jit(_ds_true_residual)
+    r, rn = tres(A_acc, b_ds, x_ds)
+    r0n = float(rn)
+    safe_r0 = r0n if r0n > 0.0 else 1.0
+    rel = r0n / safe_r0  # 1.0 (or 0 for zero RHS)
+    hist = [1.0]
+    total = 0
+    while rel > tol and total < max_cycles:
+        res = inner(hier32, A_inner, r)
+        x_ds = ds_add(x_ds, DS(hi=res.x[0], lo=res.x[1]))
+        total += int(res.iters)
+        # inner per-iteration history, rescaled to the OUTER residual norm
+        # (drop the leading 1.0 — it duplicates the previous outer point)
+        inner_h = np.asarray(res.history)
+        inner_h = inner_h[~np.isnan(inner_h)][1:]
+        prev_rel = rel
+        r, rn = tres(A_acc, b_ds, x_ds)
+        rel = float(rn) / safe_r0
+        if inner_h.size:
+            # inner history is relative to its own r0 = the outer residual,
+            # so outer-relative = inner_h * prev_rel; the final point is
+            # replaced by the DS-measured outer rel (the honest number)
+            hist.extend(float(v) * prev_rel for v in inner_h[:-1])
+        hist.append(rel)
+        if rel > 0.9 * prev_rel:
+            break  # refinement stagnated: report honestly
+    h = np.full(max_cycles + 1, np.nan, dtype=np.float32)
+    h[: min(len(hist), max_cycles + 1)] = hist[: max_cycles + 1]
+    return MixedSolveResult(
+        x=x_ds.hi,
+        iters=jnp.asarray(total, jnp.int32),
+        rel_resnorm=jnp.asarray(rel, jnp.float32),
+        history=jnp.asarray(h),
+        x_lo=x_ds.lo,
+    )
+
+
 def _loop_f64(hier32, A64, cfg, b, x0, tol, max_cycles):
     r0 = b - A64 @ x0
     r0n = jnp.linalg.norm(r0)

@@ -138,6 +138,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
     )
     mesh = None
     grid_mesh = None
+    dia_pair = None
     if opts.hierarchy == "structured":
         dtype_s = jnp.float32 if opts.mixed_precision else params.dtype
         if prob.stencil is not None:
@@ -162,6 +163,14 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             gs = prob.grid_shape
             nf = num_functions
             node_shape = tuple(gs[:-1]) + (gs[-1] // max(nf, 1),)
+            if opts.mixed_precision:
+                # double-single operator pair for the accurate outer
+                # residual / DS-PCG matvec (solve/mixed.py::mixed_pcg)
+                from amg_tpu.setup.structured import csr_to_dia_stencil
+
+                dia_pair = csr_to_dia_stencil(
+                    prob.A, gs, jnp.float32, return_lo=True
+                )
             hh, hier = build_dia_structured_hierarchy(
                 prob.A,
                 node_shape,
@@ -518,12 +527,23 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         )
         gw = None
     elif opts.mixed_precision:
-        from amg_tpu.solve.mixed import mixed_solve
+        if dia_pair is not None:
+            # ill-conditioned structured-FEM path (elasticity): DS-PCG
+            # refinement against the double-single operator pair
+            from amg_tpu.solve.mixed import mixed_pcg
 
-        A64 = hier.levels[0].A  # CPU f64 path reuses; TPU path uses ds
-        res = mixed_solve(
-            hier, A64, cfg, b, x0, tol=opts.tol, max_cycles=opts.num_cycles
-        )
+            res = mixed_pcg(
+                hier, dia_pair, cfg, b, x0, tol=opts.tol,
+                max_cycles=opts.num_cycles,
+            )
+        else:
+            from amg_tpu.solve.mixed import mixed_solve
+
+            A64 = hier.levels[0].A  # CPU f64 path reuses; TPU path uses ds
+            res = mixed_solve(
+                hier, A64, cfg, b, x0, tol=opts.tol,
+                max_cycles=opts.num_cycles,
+            )
         gw = None
     elif opts.outer_solver == "ams_pcg":
         # auxiliary-space PCG (curl-curl): needs the problem's discrete

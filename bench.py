@@ -438,8 +438,21 @@ def aux_dia_elasticity(smoke, dtype):
             np.asarray(prob.rhs) / np.linalg.norm(prob.rhs), dtype=dtype
         )
 
-        # convergence record: the full PCG-wrapped solve to 1e-5
-        res = solve(hier, cfg, b, tol=1e-5, max_cycles=40, outer="pcg")
+        # convergence record: at f32 the beam's conditioning (kappa ~ 1e8)
+        # defeats a plain f32 Krylov solve, so the production path is the
+        # double-single mixed-precision PCG (solve/mixed.py::mixed_pcg —
+        # DS state + DS operator pair, f32 V-cycle preconditioner); the
+        # recorded rel_res is the DS-measured TRUE residual (verified to
+        # track the f64 residual to 3 digits)
+        if jnp.dtype(dtype) == jnp.float32:
+            from amg_tpu.solve.mixed import mixed_pcg
+
+            vs_pair = csr_to_dia_stencil(
+                prob.A, prob.grid_shape, dtype, return_lo=True
+            )
+            res = mixed_pcg(hier, vs_pair, cfg, b, tol=1e-5, max_cycles=60)
+        else:
+            res = solve(hier, cfg, b, tol=1e-5, max_cycles=40, outer="pcg")
         jax.block_until_ready(res.x)
 
         # per-cycle cost by direct-chain slope over the jitted cycle (the
