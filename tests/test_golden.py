@@ -137,5 +137,6 @@ def test_two_level_vs_independent_oracle():
 def test_goldens_exist():
     names = {os.path.basename(p) for p in GOLDEN_FILES}
     # 5 BASELINE configs + 2 distributed round-2 configs + round-3
-    # elasticity-defaults (SA+PCG) config
-    assert len(names) == 8, f"expected 8 goldens, have {names}"
+    # elasticity-defaults (SA+PCG) config + 2 round-4 medium-scale
+    # configs (110k-dof 27pt, 49k-dof DIA elasticity mixed-precision)
+    assert len(names) == 10, f"expected 10 goldens, have {names}"

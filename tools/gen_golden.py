@@ -59,6 +59,17 @@ CONFIGS = {
         problem="27pt", n=12, solver="mult", num_devices=8, comm="halo",
         device_format="ell",
     ),
+    # round-4 MEDIUM-SCALE goldens (round-3 verdict item 2): the toy-sized
+    # configs above cannot see scale-dependent failures (the round-3
+    # config-4 f32 stall appeared only >=100k dofs). These pin a 110k-dof
+    # 6-level 27-pt solve and the 49k-dof DIA elasticity beam through the
+    # production mixed-precision DS-PCG path.
+    "config9_27pt_medium": dict(problem="27pt", n=48, solver="mult"),
+    "config10_elasticity_dia_mixed": dict(
+        problem="elasticity", nx=96, ny=12, nz=12, elast_bc="identity",
+        hierarchy="structured", mixed_precision=True, tol=1e-5,
+        num_cycles=60,
+    ),
 }
 
 
@@ -66,8 +77,11 @@ def main():
     from amg_tpu.utils.config import SolverOptions
     from amg_tpu.utils.runner import run_experiment
 
+    only = set(sys.argv[1:])  # regenerate a subset: gen_golden.py config9...
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, kw in CONFIGS.items():
+        if only and not any(name.startswith(o) for o in only):
+            continue
         st = run_experiment(SolverOptions(**kw))
         rec = {
             "config": kw,
