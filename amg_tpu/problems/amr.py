@@ -100,58 +100,9 @@ def laplacian_graded(
     ny = nx if ny is None else ny
     xs = _graded_coords(nx, gamma)
     ys = _graded_coords(ny, gamma)
-    # unknowns at interior nodes (1..n-1 per axis)
-    nxi, nyi = nx - 1, ny - 1
-    n = nxi * nyi
-    idx = np.arange(n).reshape(nxi, nyi)
-    hx = np.diff(xs)  # (nx,)
-    hy = np.diff(ys)
-    # control-volume sizes at interior nodes
-    cvx = 0.5 * (hx[:-1] + hx[1:])  # (nxi,)
-    cvy = 0.5 * (hy[:-1] + hy[1:])
-    rows, cols, vals = [], [], []
-    diag = np.zeros((nxi, nyi))
-    # x-direction fluxes: face conductance 1/hx per unit y, times the
-    # control-volume y-extent
-    wx = 1.0 / hx
-    c = wx[1:-1][:, None] * cvy[None, :]  # (nxi-1, nyi) interior faces
-    r = idx[:-1, :].reshape(-1)
-    cidx = idx[1:, :].reshape(-1)
-    v = -c.reshape(-1)
-    rows += [r, cidx]
-    cols += [cidx, r]
-    vals += [v, v]
-    diag[:-1, :] += c
-    diag[1:, :] += c
-    # Dirichlet boundary x faces
-    diag[0, :] += wx[0] * cvy
-    diag[-1, :] += wx[-1] * cvy
-    # y couplings
-    wy = 1.0 / hy
-    c = (cvx[:, None] * wy[1:-1][None, :])  # (nxi, nyi-1)
-    r = idx[:, :-1].reshape(-1)
-    cidx = idx[:, 1:].reshape(-1)
-    v = -c.reshape(-1)
-    rows += [r, cidx]
-    cols += [cidx, r]
-    vals += [v, v]
-    diag[:, :-1] += c
-    diag[:, 1:] += c
-    diag[:, 0] += cvx * wy[0]
-    diag[:, -1] += cvx * wy[-1]
-    rows.append(idx.reshape(-1))
-    cols.append(idx.reshape(-1))
-    vals.append(diag.reshape(-1))
-    m = sp.coo_matrix(
-        (
-            np.concatenate(vals).astype(SETUP_DTYPE),
-            (np.concatenate(rows), np.concatenate(cols)),
-        ),
-        shape=(n, n),
-    )
+    prob, _ = laplacian_tensor(xs, ys)
     return Problem(
-        name="graded", A=CSRMatrix.from_scipy(m), stencil=None,
-        grid_shape=(nxi, nyi),
+        name="graded", A=prob.A, stencil=None, grid_shape=prob.grid_shape,
     )
 
 

@@ -115,6 +115,62 @@ class TestDiaStructuredHierarchy:
                 atol=1e-12,
             )
 
+    def test_transfer_and_operator_parity_even_axes(self):
+        """EVEN-axis node shapes take the graded-end coarsening branch
+        (coarse positions 2i plus a grid-end point), whose position logic
+        is hand-synchronized across _axis_transfer_np/_structured_P_csr/
+        _axis_pos — this pins device-transfer vs host-CSR parity, coarse
+        Dirichlet-mask injection, and a convergence bound so the three
+        encodings cannot drift (round-3 advisor item)."""
+        from amg_tpu.setup.structured import (
+            _identity_row_mask,
+            build_dia_structured_hierarchy,
+        )
+        from amg_tpu.smooth import SmootherType
+        from amg_tpu.solve import CycleConfig, CycleType, solve
+
+        prob = elasticity_beam(nx=33, ny=4, nz=4, bc="identity")
+        hh, hier = build_dia_structured_hierarchy(
+            prob.A, (34, 5, 5), num_functions=3
+        )
+        rng = np.random.default_rng(0)
+        for hl, dl in zip(hh.levels, hier.levels):
+            x = rng.random(hl.A.n_rows)
+            np.testing.assert_allclose(
+                np.asarray(dl.A @ jnp.asarray(x)), hl.A.to_scipy() @ x,
+                atol=1e-11,
+            )
+            if hl.P is None:
+                continue
+            xc = rng.random(hl.P.shape[1])
+            np.testing.assert_allclose(
+                np.asarray(dl.P @ jnp.asarray(xc)), hl.P.to_scipy() @ xc,
+                atol=1e-12,
+            )
+            xf = rng.random(hl.P.shape[0])
+            np.testing.assert_allclose(
+                np.asarray(dl.R @ jnp.asarray(xf)), hl.R.to_scipy() @ xf,
+                atol=1e-12,
+            )
+        # coarse Dirichlet-mask injection survives even-axis coarsening
+        for lvl, hl in enumerate(hh.levels):
+            m = _identity_row_mask(hl.A.to_scipy())
+            assert m.any(), f"level {lvl} lost its Dirichlet identity rows"
+        # PCG convergence bound on the even-axis hierarchy
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI,
+            num_pre_sweeps=2, num_post_sweeps=2,
+        )
+        b = jnp.asarray(
+            np.asarray(prob.rhs) / np.linalg.norm(prob.rhs),
+            hier.levels[0].A.diagonal().dtype,
+        )
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=40, outer="pcg")
+        assert float(res.rel_resnorm) <= 1e-8
+        assert int(res.iters) <= 30, (
+            f"even-axis PCG took {int(res.iters)} cycles"
+        )
+
     def test_dirichlet_rows_stay_identity_on_coarse_levels(self):
         from amg_tpu.setup.structured import (
             _identity_row_mask,
