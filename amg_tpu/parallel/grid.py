@@ -30,10 +30,16 @@ TPU realization (this module): one `shard_map` over a 1-D mesh.
     therefore reproduces the async simulator's iterates to roundoff
     (tested), while distributing the per-level work.
 
-Operator storage is replicated (every device holds the pytree, touches only
-its levels), matching the reference's redundant per-group ownership; the
-row-sharded path (amg_tpu.parallel.dist) is the orthogonal within-level
-axis.
+Operator storage is OWNED, not replicated (round-4): each device's shard of
+a device-major coefficient pool carries exactly the leaves its branch
+touches — its assigned levels' A/smoother arrays plus the transfer chain
+down to its deepest level — so per-device operator bytes track the
+assignment instead of the full hierarchy (the reference's redistributed
+gridk ownership: each grid group holds only its own A_k/P_k copies,
+src/DMEM_Setup.cpp:216-334). The fine-grid operator alone stays replicated:
+every group owns a fine-matrix copy in the reference too (the LOCAL_RES
+residual A_gridk, src/DMEM_Add.cpp:530-556). The row-sharded path
+(amg_tpu.parallel.dist) is the orthogonal within-level axis.
 """
 
 from __future__ import annotations
@@ -55,7 +61,8 @@ from amg_tpu.solve.async_sim import (
     GridWaitStats,
     _fire_probs,
 )
-from amg_tpu.solve.cycles import CycleConfig, additive_correction
+from amg_tpu.setup.hierarchy import Hierarchy, Level
+from amg_tpu.solve.cycles import CycleConfig, CycleType, additive_correction
 
 
 def plan_grid_levels(
@@ -84,6 +91,151 @@ def plan_grid_levels(
         for d in range(s, min(e, num_devices)):
             levels_of[d].append(k)
     return assignment, tuple(tuple(ls) for ls in levels_of), scale
+
+
+_LEVEL_TRANSFER_FIELDS = ("P", "R", "P_s", "R_s", "R_inj", "P_id", "R_id")
+
+
+def _keep_fields(my_levels, L, cfg: CycleConfig):
+    """The (level, field) operator leaves the device owning `my_levels`
+    touches inside its correction branch: additive_correction walks the
+    R/P transfer chain down to its deepest level and smooths there (AFACx
+    additionally smooths at level k+1; the coarsest owner needs the dense
+    inverse). The fine operator is excluded — it is passed replicated,
+    every group owning a fine-matrix copy exactly as the reference's
+    LOCAL_RES design (src/DMEM_Add.cpp:530-556)."""
+    owned = set(my_levels)
+    if cfg.cycle == CycleType.AFACX:
+        owned |= {min(k + 1, L - 1) for k in my_levels}
+    deepest = max(owned)
+    # only the transfer variants this config's additive_correction walks:
+    # MULTADD/BPX chains pick R_s/P_s when use_smoothed_transfers (falling
+    # back per level to R/P), AFACj mixes R/P with the ideal interpolants,
+    # AFACx uses the raw chain plus its own level's R/P
+    if cfg.cycle == CycleType.AFACJ:
+        fields = ("P", "R", "P_id", "R_id")
+    elif cfg.use_smoothed_transfers:
+        fields = ("P", "R", "P_s", "R_s")
+    else:
+        fields = ("P", "R")
+    keep = set()
+    for j in range(deepest):
+        for f in fields:
+            keep.add((j, f))
+    if cfg.cycle == CycleType.AFACX:
+        # within-level R/P hop at each owned level k
+        for k in my_levels:
+            keep.add((k, "P"))
+            keep.add((k, "R"))
+    for k in owned:
+        keep.add((k, "A"))
+        keep.add((k, "sm"))
+    keep.discard((0, "A"))
+    if (L - 1) in owned:
+        keep.add(("coarse", "Ainv"))
+    return keep
+
+
+def build_grid_owned_storage(hier, levels_of, cfg: CycleConfig):
+    """Device-major pooled operator storage for the grid-parallel solve.
+
+    Packs, per device, exactly the leaves its branch touches
+    (_keep_fields) into one flat buffer per dtype; rows are padded to the
+    max packed length and stacked into (D, Lmax) pools whose leading axis
+    is sharded over the mesh — so each device's operator allocation is
+    max_d(owned bytes) instead of the full hierarchy (the redistributed
+    gridk ownership of the reference, src/DMEM_Setup.cpp:216-334).
+
+    Returns (pools, metas, owned_bytes): pools maps dtype-name to a
+    (D, Lmax) jnp array; metas[d] maps field key -> (treedef, leaf specs)
+    for reconstruction; owned_bytes[d] is the exact per-device packed
+    byte count (for memory-scaling assertions)."""
+    from jax.tree_util import tree_flatten
+
+    L = hier.num_levels
+    D = len(levels_of)
+    metas, rows = [], []
+    for d in range(D):
+        keep = _keep_fields(levels_of[d], L, cfg)
+        if cfg.use_smoothed_transfers and cfg.cycle in (
+            CycleType.MULTADD, CycleType.BPX
+        ):
+            # the chain takes R_s/P_s wherever present; the raw fallback
+            # is only needed on levels without a smoothed transfer
+            for lvl, f in list(keep):
+                if f == "R" and getattr(hier.levels[lvl], "R_s", None) is not None:
+                    keep.discard((lvl, "R"))
+                if f == "P" and getattr(hier.levels[lvl], "P_s", None) is not None:
+                    keep.discard((lvl, "P"))
+        offs, bufs, meta = {}, {}, {}
+        for key in sorted(keep, key=str):
+            if key == ("coarse", "Ainv"):
+                sub = hier.coarse_Ainv
+            else:
+                lvl, f = key
+                sub = getattr(hier.levels[lvl], f)
+            if sub is None:
+                continue
+            leaves, treedef = tree_flatten(sub)
+            specs = []
+            for leaf in leaves:
+                a = np.asarray(leaf)
+                dt = str(a.dtype)
+                off = offs.get(dt, 0)
+                bufs.setdefault(dt, []).append(a.reshape(-1))
+                specs.append((dt, off, a.shape))
+                offs[dt] = off + a.size
+            meta[key] = (treedef, specs)
+        metas.append(meta)
+        rows.append(
+            {dt: np.concatenate(v) for dt, v in bufs.items()}
+        )
+    dtypes = sorted({dt for r in rows for dt in r})
+    pools = {}
+    for dt in dtypes:
+        lmax = max((r[dt].size if dt in r else 0) for r in rows)
+        mat = np.zeros((D, max(lmax, 1)), dtype=dt)
+        for d, r in enumerate(rows):
+            if dt in r:
+                mat[d, : r[dt].size] = r[dt]
+        pools[dt] = jnp.asarray(mat)
+    owned_bytes = [
+        sum(r[dt].size * np.dtype(dt).itemsize for dt in r) for r in rows
+    ]
+    return pools, metas, owned_bytes
+
+
+def _reconstruct_view(L, meta, pool_row, A0):
+    """Rebuild one device's hierarchy view from its local pool row: kept
+    leaves are static slices of the row; dropped fields are None, so an
+    out-of-keep-set access is a loud tracing error rather than silently
+    reading another device's data."""
+    from jax.tree_util import tree_unflatten
+
+    def field(key):
+        if key not in meta:
+            return None
+        treedef, specs = meta[key]
+        leaves = [
+            pool_row[dt][off : off + int(np.prod(shape, dtype=np.int64))]
+            .reshape(shape)
+            for dt, off, shape in specs
+        ]
+        return tree_unflatten(treedef, leaves)
+
+    levels = []
+    for lvl in range(L):
+        kw = {f: field((lvl, f)) for f in _LEVEL_TRANSFER_FIELDS}
+        levels.append(
+            Level(
+                A=A0 if lvl == 0 else field((lvl, "A")),
+                sm=field((lvl, "sm")),
+                **kw,
+            )
+        )
+    return Hierarchy(
+        levels=tuple(levels), coarse_Ainv=field(("coarse", "Ainv"))
+    )
 
 
 def _stale_read_cols(acfg: AsyncConfig, n, lr_level, k, subkey):
@@ -148,9 +300,15 @@ def grid_parallel_solve(
     scale = jnp.asarray(level_scale, dtype)
     n_pad = -(-n // D) * D  # fused-norm partials use a (D, n_pad/D) view
 
-    def solve_body(hier_, b_, x0_, key_):
-        A0 = hier_.levels[0].A
+    # owned operator storage: device-major pools sharded over the mesh —
+    # only the fine operator rides in replicated (every group holds a
+    # fine-matrix copy in the reference's LOCAL_RES design too)
+    pools, metas, _ = build_grid_owned_storage(hier, levels_of, cfg)
+    A0_rep = hier.levels[0].A
+
+    def solve_body(A0, pools_, b_, x0_, key_):
         d = jax.lax.axis_index(axis)
+        pool_row = {dt: pools_[dt][0] for dt in pools_}
 
         def norm_partial(r):
             """This device's row-range partial of ||r||^2."""
@@ -166,7 +324,7 @@ def grid_parallel_solve(
             )
             return stats[0], stats[1]
 
-        def level_correction(ring, cols, fire_lvl, lvl, c_pend):
+        def level_correction(hview, ring, cols, fire_lvl, lvl, c_pend):
             """Owner-only work: stale read (+ stale residual) + correction.
             The device's own pending (not-yet-exchanged) corrections are
             visible in its own reads — the reference applies its corrections
@@ -177,22 +335,24 @@ def grid_parallel_solve(
                 r_stale = b_ - A0 @ (stale + acfg.omega * c_pend)
             else:
                 r_stale = stale
-            c = scale[lvl] * additive_correction(hier_, cfg, r_stale, lvl)
+            c = scale[lvl] * additive_correction(hview, cfg, r_stale, lvl)
             return jnp.where(fire_lvl, c, jnp.zeros_like(c))
 
-        def make_branch(my_levels):
+        def make_branch(d_idx, my_levels):
             def branch(op):
+                # this device's hierarchy view, sliced from ITS pool shard
+                hview = _reconstruct_view(L, metas[d_idx], pool_row, A0)
                 ring, cols_all, fire, c_pend = op
                 c = jnp.zeros(n, dtype)
                 for lvl in my_levels:
                     c = c + level_correction(
-                        ring, cols_all[lvl], fire[lvl], lvl, c_pend
+                        hview, ring, cols_all[lvl], fire[lvl], lvl, c_pend
                     )
                 return c
 
             return branch
 
-        branches = [make_branch(ls) for ls in levels_of]
+        branches = [make_branch(di, ls) for di, ls in enumerate(levels_of)]
 
         r0 = b_ - A0 @ x0_
         r0norm = jnp.sqrt(jax.lax.psum(norm_partial(r0), axis))
@@ -339,12 +499,19 @@ def grid_parallel_solve(
             ).astype(jnp.int32)
         else:
             waits0 = jnp.zeros(L, jnp.int32)
+        # c_pend and dflag become device-varying (they mix in the owned
+        # pool shard's branch output), so their zero inits must be marked
+        # varying for the while_loop carry types to match
+        if hasattr(jax.lax, "pcast"):
+            vary = lambda v: jax.lax.pcast(v, (axis,), to="varying")  # noqa: E731
+        else:  # older jax spelling
+            vary = lambda v: jax.lax.pvary(v, (axis,))  # noqa: E731
         state = (
             x0_, ring0, lr0, gw0, jnp.zeros(L, jnp.int32),
-            jnp.zeros((), jnp.int32), r0, jnp.zeros(n, dtype), waits0,
+            jnp.zeros((), jnp.int32), r0, vary(jnp.zeros(n, dtype)), waits0,
             jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
-            jnp.asarray(0.0, dtype),
+            vary(jnp.asarray(0.0, dtype)),
             hist0, key_,
         )
         (x, _, _, gw, _, _, _, c_pend, _, it, relnorm, _, _, hist,
@@ -357,7 +524,8 @@ def grid_parallel_solve(
         )
 
     rep = P()
-    hier_specs = jax.tree_util.tree_map(lambda _: rep, hier)
+    a0_specs = jax.tree_util.tree_map(lambda _: rep, A0_rep)
+    pool_specs = {dt: P(axis, None) for dt in pools}
     out_specs = AsyncResult(
         x=rep,
         iters=rep,
@@ -368,10 +536,10 @@ def grid_parallel_solve(
     fn = jax.shard_map(
         solve_body,
         mesh=mesh,
-        in_specs=(hier_specs, rep, rep, rep),
+        in_specs=(a0_specs, pool_specs, rep, rep, rep),
         out_specs=out_specs,
     )
-    return jax.jit(fn)(hier, b, x0, key)
+    return jax.jit(fn)(A0_rep, pools, b, x0, key)
 
 
 def device_branch_fn(hier, cfg: CycleConfig, acfg: AsyncConfig, my_levels, b):

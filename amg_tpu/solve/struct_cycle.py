@@ -250,6 +250,48 @@ def struct_solve(
     return fn(hier, cfg, spec_static, spec.scale_pad, b, x0, tol, max_cycles)
 
 
+def struct_timed_cycles(
+    hier: Hierarchy,
+    cfg: CycleConfig,
+    b: jnp.ndarray,
+    num_cycles: int,
+    slab: Optional[int] = None,
+) -> jnp.ndarray:
+    """Exactly num_cycles fused struct V-cycles with NO residual-norm
+    monitoring, as one jitted fori_loop — the benchmark's per-cycle cost
+    program (the reference's -no_resnorm timing mode). Two launches with
+    different num_cycles give the marginal cycle cost by slope, with the
+    launch/dispatch overhead subtracted out."""
+    if slab is None:
+        probe = np.asarray(hier.levels[0].sm.inv_wscale)
+        scalar = bool(probe.size) and bool(np.all(probe == probe[0]))
+        slab = pick_struct_slab(cfg, scalar)
+    spec = make_struct_spec(hier, slab)
+    spec_static = (
+        spec.weights, spec.offsets, spec.grid_shape, spec.slab, spec.alpha,
+    )
+    fn = jax.jit(
+        _timed_loop, static_argnames=("cfg", "spec_static", "num_cycles")
+    )
+    return fn(hier, cfg, spec_static, spec.scale_pad, b, num_cycles)
+
+
+def _timed_loop(hier, cfg, spec_static, scale_pad, b, num_cycles):
+    weights, offsets, grid_shape, slab, alpha = spec_static
+    spec = StructKernelSpec(
+        weights=weights, offsets=offsets, grid_shape=grid_shape, slab=slab,
+        alpha=alpha, scale_pad=scale_pad,
+    )
+    b_pad = to_padded(b, grid_shape, slab)
+    x0 = jnp.zeros_like(b_pad)
+    x_pad = jax.lax.fori_loop(
+        0, num_cycles,
+        lambda _, x: struct_vcycle(hier, cfg, spec, x, b_pad),
+        x0,
+    )
+    return from_padded(x_pad, grid_shape)
+
+
 def _presweep_norm(spec, cfg, x_pad, b_pad):
     """Pre-sweeps with the FIRST sweep fused to the incoming iterate's
     residual-norm partials (mode sweep_vec_norm) — the convergence monitor

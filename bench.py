@@ -135,23 +135,45 @@ def main():
 
     # ---- auxiliary metrics (printed first; the driver parses the LAST
     # line as the headline) ------------------------------------------------
+    single_ratio = pair_ratio = None
     if on_tpu:
-        aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s)
-        aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s)
+        single_ratio = aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s)
+        pair_ratio = aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s)
     aux_vcycle(smoke, dtype)
     aux_bsr(smoke, dtype)
     aux_dia_elasticity(smoke, dtype)
 
+    headline_ratio = nnz_per_s / roofline_nnz_per_s
+    # vs_baseline FLOORS (round-3 verdict weak item 4): a silent kernel
+    # regression must fail loudly. Floors sit below the documented
+    # run-to-run variance band of the relay backend (headline 1.44-1.54x,
+    # single 0.66-0.95x, pair 0.98-1.85x measured across rounds).
+    violations = []
+    if on_tpu and not smoke:
+        if headline_ratio < 1.1:
+            violations.append(
+                f"spmv_smoother {headline_ratio:.3f} < floor 1.1"
+            )
+        if single_ratio is not None and single_ratio < 0.45:
+            violations.append(f"single_sweep {single_ratio:.3f} < floor 0.45")
+        if pair_ratio is not None and pair_ratio < 0.8:
+            violations.append(f"fused_pair {pair_ratio:.3f} < floor 0.8")
+    if violations:
+        print(json.dumps({"metric": "floor_violations", "items": violations}))
     print(
         json.dumps(
             {
                 "metric": "spmv_smoother_nnz_per_s",
                 "value": nnz_per_s,
                 "unit": "nnz/s",
-                "vs_baseline": nnz_per_s / roofline_nnz_per_s,
+                "vs_baseline": headline_ratio,
             }
         )
     )
+    if violations:
+        import sys
+
+        sys.exit(2)
 
 
 def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s):
@@ -174,16 +196,19 @@ def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s):
         t0 = min(chained(51) for _ in range(2))
         t1 = min(chained(301) for _ in range(2))
         per = max((t1 - t0) / 250, 1e-12)
+        ratio = (nnz / per) / roofline_nnz_per_s
         print(json.dumps({
             "metric": "single_sweep_nnz_per_s",
             "value": nnz / per,
             "unit": "nnz/s",
-            "vs_baseline": (nnz / per) / roofline_nnz_per_s,
+            "vs_baseline": ratio,
         }))
+        return ratio
     except Exception as e:
         print(json.dumps({
             "metric": "single_sweep_nnz_per_s", "error": str(e)[:200]
         }))
+        return None
 
 
 def aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s):
@@ -206,21 +231,34 @@ def aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s):
         t0 = min(chained(51) for _ in range(2))
         t1 = min(chained(301) for _ in range(2))
         per = max((t1 - t0) / 250 / 2, 1e-12)
+        ratio = (nnz / per) / roofline_nnz_per_s
         print(json.dumps({
             "metric": "fused_pair_nnz_per_s",
             "value": nnz / per,
             "unit": "nnz/s",
-            "vs_baseline": (nnz / per) / roofline_nnz_per_s,
+            "vs_baseline": ratio,
         }))
+        return ratio
     except Exception as e:
         print(json.dumps({
             "metric": "fused_pair_nnz_per_s", "error": str(e)[:200]
         }))
+        return None
 
 
 def aux_vcycle(smoke, dtype):
     """Full V-cycle wall time through the production struct solve path
-    (fused Pallas fine level with pipelined residual-norm monitoring)."""
+    (fused Pallas fine level).
+
+    Methodology OF RECORD (round 4, replacing the round-3 capped-solve
+    slope whose 7-cycle margin was swamped by the relay backend's
+    per-launch jitter — it published 0.075 ms, below the HBM traffic
+    bound): per-cycle cost is the slope between two FIXED-cycle fori_loop
+    programs (struct_timed_cycles, no residual monitoring) whose cycle
+    counts differ by ~200, so the marginal is ~hundreds of ms against
+    ~ms-level launch noise. A fine-grid HBM traffic lower bound is
+    printed alongside and the measurement is flagged when it dips below
+    the physically possible."""
     import jax
     import jax.numpy as jnp
 
@@ -228,7 +266,7 @@ def aux_vcycle(smoke, dtype):
     from amg_tpu.setup.structured import build_structured_hierarchy
     from amg_tpu.smooth import SmootherType
     from amg_tpu.solve import CycleConfig, CycleType, solve
-    from amg_tpu.solve.struct_cycle import struct_solve
+    from amg_tpu.solve.struct_cycle import struct_solve, struct_timed_cycles
 
     try:
         n_side = 16 if smoke else 126
@@ -245,41 +283,73 @@ def aux_vcycle(smoke, dtype):
         # Pallas-fused struct path on TPU; generic XLA cycle on CPU
         on_tpu = jax.default_backend() != "cpu"
 
-        def run(tol, mc):
-            f = struct_solve if on_tpu else solve
-            res = f(hier, cfg, b, tol=tol, max_cycles=mc)
-            jax.block_until_ready(res.x)
-            return res
+        # convergence record (tolerance-monitored production solve)
+        f = struct_solve if on_tpu else solve
+        res = f(hier, cfg, b, tol=1e-5, max_cycles=40)
+        jax.block_until_ready(res.x)
 
-        res = run(1e-5, 40)  # the convergence numbers of record
-        # per-cycle cost = marginal over capped-cycle runs ((t[11]-t[4])/7)
-        # — one solve launch carries ~25 ms of host-relay + transfer
-        # overhead on the tunneled backend, which is not device cycle time
-        mc0, mc1 = (2, 6) if smoke else (4, 11)
-        for mc in (mc0, mc1):
-            run(0.0, mc)  # compile both loop shapes
+        if on_tpu:
+            k0, k1 = (2, 12) if smoke else (10, 210)
 
-        def best(mc, reps=4):
-            t_best, it = 1e9, 1
-            for _ in range(reps):
+            def run_fixed(k):
+                out = struct_timed_cycles(hier, cfg, b, k)
+                jax.block_until_ready(out)
+
+            run_fixed(k0)
+            run_fixed(k1)  # compile both
+
+            def best(k, reps=3):
+                t = 1e9
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    run_fixed(k)
+                    t = min(t, time.perf_counter() - t0)
+                return t
+
+            per_cycle = max(best(k1) - best(k0), 1e-12) / (k1 - k0)
+        else:
+            from amg_tpu.solve.cycles import cycle_step
+
+            cyc = jax.jit(lambda h, x_: cycle_step(h, cfg, x_, b))
+            x0 = jnp.zeros_like(b)
+            jax.block_until_ready(cyc(hier, x0))
+
+            def chain(k):
+                z = x0
                 t0 = time.perf_counter()
-                r = run(0.0, mc)
-                t_best = min(t_best, time.perf_counter() - t0)
-                it = max(it, int(r.iters))
-            return t_best, it
+                for _ in range(k):
+                    z = cyc(hier, z)
+                jax.block_until_ready(z)
+                return time.perf_counter() - t0
 
-        tA, iA = best(mc0)
-        tB, iB = best(mc1)
-        per_cycle = (tB - tA) / max(iB - iA, 1)
-        if per_cycle <= 0:  # timing noise on tiny smoke problems
-            per_cycle = tB / max(iB, 1)
+            k0, k1 = (2, 10) if smoke else (5, 45)
+            per_cycle = max(chain(k1) - chain(k0), 1e-12) / (k1 - k0)
+
+        # fine-grid HBM traffic lower bound for one cycle: each fine pass
+        # streams the padded state once; sweeps read u+b and write u
+        # (3 passes each), the residual reads u+b writes r (3), restrict
+        # reads r (1), prolong-add rewrites x (2); coarse levels are <=
+        # 1/8 the state and ignored (a truthful UNDER-estimate)
+        import amg_tpu.ops.pallas_stencil as ps
+
+        slab = 6
+        state_bytes = (
+            int(np.prod(ps.padded_shape(prob.stencil.grid_shape, slab)))
+            * jnp.dtype(dtype).itemsize
+        ) if on_tpu else prob.n * jnp.dtype(dtype).itemsize
+        passes = 3 * cfg.num_pre_sweeps + 3 + 1 + 2 + 3 * cfg.num_post_sweeps
+        bw = 819e9 if on_tpu else 50e9
+        bound_ms = passes * state_bytes / bw * 1e3
+        value_ms = per_cycle * 1e3
         print(json.dumps({
             "metric": "vcycle_ms",
-            "value": per_cycle * 1e3,
+            "value": value_ms,
             "unit": "ms/cycle",
             "cycles": int(res.iters),
             "rel_res": float(res.rel_resnorm),
             "n": prob.n,
+            "traffic_bound_ms": bound_ms,
+            "plausible": bool(value_ms >= 0.8 * bound_ms),
         }))
     except Exception as e:  # aux metrics must never sink the headline
         print(json.dumps({"metric": "vcycle_ms", "error": str(e)[:200]}))
