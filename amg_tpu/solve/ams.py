@@ -88,11 +88,119 @@ def build_ams(
 def ams_precondition(
     ams: AMSData, cfg: CycleConfig, r: jnp.ndarray
 ) -> jnp.ndarray:
-    """Apply M^-1 r = w S^-1 r + G Vcycle(G^T r). Jittable."""
+    """Apply M^-1 r = w S^-1 r + G C(G^T r), where C is one cycle of the
+    configured type on the nodal hierarchy (MULT V-cycle by default; any
+    additive cycle — multadd/AFACx/BPX — via cfg.cycle, so the async
+    additive machinery drives the node correction too). Jittable."""
+    from amg_tpu.solve.cycles import cycle_step
+
     e_smooth = ams.inv_wscale * r
     r_n = ams.Gt @ r
-    e_n = mult_vcycle(ams.node_hier, cfg, jnp.zeros_like(r_n), r_n)
+    if cfg.cycle == CycleType.MULT:
+        e_n = mult_vcycle(ams.node_hier, cfg, jnp.zeros_like(r_n), r_n)
+    else:
+        e_n = cycle_step(ams.node_hier, cfg, jnp.zeros_like(r_n), r_n)
     return e_smooth + ams.G @ e_n
+
+
+def build_sharded_ams(
+    A_edge: CSRMatrix,
+    G: CSRMatrix,
+    mesh,
+    params: HierarchyParams | None = None,
+    smoother_weight: float | None = None,
+) -> tuple:
+    """Row-sharded AMS over a device mesh with halo-segment comm — the
+    distributed Maxwell path (BASELINE config 5: Maxwell + multi-device +
+    DMEM-style comm; reference: src/Maxwell.cpp:50-208 solved through
+    src/DMEM_Add.cpp/DMEM_Comm.cpp). The edge operator, the discrete
+    gradient G and its transpose are HaloELL (boundary-segment exchange
+    only — no all-gathers), and the nodal hierarchy is the halo-comm
+    distributed hierarchy.
+
+    Returns (A_halo, AMSData, node_cfg, pad_edge, pad_node): vectors pad
+    via parallel.dist.pad_vector(b, pad_edge, mesh)."""
+    from amg_tpu.parallel.dist import _pad_csr, build_dist_hierarchy, shard_vector
+    from amg_tpu.parallel.spcomm import build_halo_ell
+    from amg_tpu.setup.hierarchy import build_host_hierarchy
+    from amg_tpu.setup.rap import estimate_rho_dinv_a
+
+    if params is None:
+        params = HierarchyParams(keep_stencil_fine=False, device_format="ell")
+    D = int(mesh.devices.size)
+    E = A_edge.n_rows
+    # nodal operator A_n = G^T A G + halo-distributed hierarchy on it
+    As = A_edge.to_scipy().tocsr()
+    Gs = G.to_scipy().tocsr()
+    A_n = CSRMatrix.from_scipy((Gs.T @ (As @ Gs)).tocsr())
+    hh_n = build_host_hierarchy(A_n, params)
+    node_hier, pad_node = build_dist_hierarchy(hh_n, params, mesh, comm="halo")
+    N_pad = pad_node[1]
+    unit = D if params.device_format == "ell" else 16 * D
+    E_pad = -(-E // unit) * unit
+    A_pad = _pad_csr(A_edge, E_pad, E_pad, unit_diag_from=E)
+    G_pad = _pad_csr(G, E_pad, N_pad)  # zero pad block: pads decouple
+    A_halo = build_halo_ell(A_pad, mesh, dtype=params.dtype)
+    G_h = build_halo_ell(G_pad, mesh, dtype=params.dtype)
+    Gt_h = build_halo_ell(G_pad.transpose(), mesh, dtype=params.dtype)
+
+    scale = A_pad.l1_row_norms()  # pad rows: unit diag -> scale 1
+    scale = np.where(scale == 0.0, 1.0, scale)
+    if smoother_weight is None:
+        smoother_weight = 1.0 / max(
+            estimate_rho_dinv_a(
+                A_edge, seed=params.seed, scale=scale[:E]
+            ),
+            1e-12,
+        )
+    data = AMSData(
+        G=G_h,
+        Gt=Gt_h,
+        inv_wscale=shard_vector(
+            jnp.asarray(smoother_weight / scale, dtype=params.dtype), mesh
+        ),
+        node_hier=node_hier,
+    )
+    cfg = CycleConfig(cycle=CycleType.MULT, smoother=params.smoother)
+    return A_halo, data, cfg, (E, E_pad), pad_node
+
+
+def solve_sharded_ams_pcg(
+    A_halo,
+    ams: AMSData,
+    cfg: CycleConfig,
+    b: jnp.ndarray,
+    mesh,
+    pad_edge,
+    x0: jnp.ndarray | None = None,
+    tol: float = 1e-8,
+    max_iters: int = 200,
+):
+    """PCG on the sharded edge system (halo comm); b is the UNPADDED host
+    RHS; the returned x is unpadded. Pad rows carry zero residual (unit
+    diagonal, zero RHS) so norms and dots are exact."""
+    import jax
+
+    from amg_tpu.parallel.dist import pad_vector, unpad_vector
+    from amg_tpu.solve.krylov import pcg
+
+    b_pad = pad_vector(jnp.asarray(b), pad_edge, mesh)
+    x0_pad = (
+        jnp.zeros_like(b_pad)
+        if x0 is None
+        else pad_vector(jnp.asarray(x0), pad_edge, mesh)
+    )
+    res = jax.jit(
+        lambda A_, ams_, b_, x0_: pcg(
+            lambda v: A_ @ v,
+            lambda r: ams_precondition(ams_, cfg, r),
+            b_,
+            x0_,
+            tol=tol,
+            max_iters=max_iters,
+        )
+    )(A_halo, ams, b_pad, x0_pad)
+    return res._replace(x=unpad_vector(res.x, pad_edge))
 
 
 def solve_ams_pcg(

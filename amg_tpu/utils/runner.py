@@ -550,15 +550,36 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         # gradient (amg_tpu.solve.ams)
         if not (prob.aux and "G" in prob.aux):
             raise ValueError("ams_pcg needs a problem with aux['G']")
-        from amg_tpu.setup.hierarchy import _format_converter
-        from amg_tpu.solve.ams import build_ams, solve_ams_pcg
+        if opts.num_devices > 1:
+            # distributed Maxwell (BASELINE config 5 as specified): sharded
+            # AMS with halo-segment comm
+            from amg_tpu.parallel import make_row_mesh
+            from amg_tpu.solve.ams import (
+                build_sharded_ams,
+                solve_sharded_ams_pcg,
+            )
 
-        ams, node_cfg = build_ams(prob.A, prob.aux["G"], params=None)
-        A_dev = _format_converter(params)(prob.A, params.dtype)
-        res = solve_ams_pcg(
-            A_dev, ams, node_cfg, b, x0, tol=opts.tol,
-            max_iters=opts.num_cycles,
-        )
+            mesh_a = mesh if mesh is not None else make_row_mesh(
+                opts.num_devices
+            )
+            A_halo, ams, node_cfg, pad_e, _ = build_sharded_ams(
+                prob.A, prob.aux["G"], mesh_a
+            )
+            b_un = b[: prob.n]  # the sharded solver pads to ITS layout
+            res = solve_sharded_ams_pcg(
+                A_halo, ams, node_cfg, b_un, mesh_a, pad_e,
+                tol=opts.tol, max_iters=opts.num_cycles,
+            )
+        else:
+            from amg_tpu.setup.hierarchy import _format_converter
+            from amg_tpu.solve.ams import build_ams, solve_ams_pcg
+
+            ams, node_cfg = build_ams(prob.A, prob.aux["G"], params=None)
+            A_dev = _format_converter(params)(prob.A, params.dtype)
+            res = solve_ams_pcg(
+                A_dev, ams, node_cfg, b, x0, tol=opts.tol,
+                max_iters=opts.num_cycles,
+            )
         gw = None
     else:
         coeffs = None

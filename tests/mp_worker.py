@@ -101,6 +101,27 @@ def main():
         cheby_coeffs=coeffs,
     )
 
+    # 4) Maxwell DISTRIBUTED (BASELINE config 5 as specified): sharded
+    #    AMS-PCG with halo comm crossing the process boundary
+    #    (reference: src/Maxwell.cpp:50-208 + src/DMEM_Comm.cpp)
+    from amg_tpu.problems.maxwell import maxwell_curlcurl
+    from amg_tpu.solve.ams import build_sharded_ams, solve_sharded_ams_pcg
+
+    pmx = maxwell_curlcurl(n=8, sigma=1.0)
+    A_halo, ams, node_cfg, pad_e, _ = build_sharded_ams(
+        pmx.A, pmx.aux["G"], mesh
+    )
+    mres = solve_sharded_ams_pcg(
+        A_halo, ams, node_cfg, jnp.asarray(pmx.rhs), mesh, pad_e, tol=1e-8
+    )
+    from jax.experimental import multihost_utils
+
+    mx = np.asarray(multihost_utils.process_allgather(mres.x, tiled=True))
+    m_true = float(
+        np.linalg.norm(np.asarray(pmx.rhs) - pmx.A.to_scipy() @ mx)
+        / np.linalg.norm(np.asarray(pmx.rhs))
+    )
+
     print("RESULT " + json.dumps({
         "pid": pid,
         "mult_iters": int(res.iters),
@@ -109,6 +130,9 @@ def main():
         "grid_rel": float(gres.rel_resnorm),
         "ext_iters": int(eres.iters),
         "ext_rel": float(eres.rel_resnorm),
+        "maxwell_iters": int(mres.iters),
+        "maxwell_rel": float(mres.rel_resnorm),
+        "maxwell_true_rel": m_true,
     }), flush=True)
 
 

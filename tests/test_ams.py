@@ -62,3 +62,98 @@ def test_maxwell_ams_small_sigma():
     res = solve_ams_pcg(A_dev, ams, cfg, jnp.asarray(p.rhs), tol=1e-8)
     assert float(res.rel_resnorm) < 1e-8
     assert int(res.iters) < 60
+
+
+class TestShardedAMS:
+    """Round-4 (BASELINE config 5 as specified): Maxwell DISTRIBUTED —
+    edge operator, discrete gradient, and nodal hierarchy all row-sharded
+    with halo-segment comm (reference: src/Maxwell.cpp:50-208 +
+    src/DMEM_Comm.cpp halo engine). Multi-PROCESS execution of the same
+    program is covered by tests/test_multiprocess.py."""
+
+    def _setup(self, n=10, sigma=1.0, D=8):
+        import jax
+
+        from amg_tpu.parallel import make_row_mesh
+        from amg_tpu.solve.ams import build_sharded_ams, solve_sharded_ams_pcg
+
+        p = maxwell_curlcurl(n=n, sigma=sigma)
+        mesh = make_row_mesh(D)
+        A_halo, ams, cfg, pad_e, pad_n = build_sharded_ams(
+            p.A, p.aux["G"], mesh
+        )
+        return p, mesh, A_halo, ams, cfg, pad_e
+
+    def test_sharded_matches_single_device(self):
+        from amg_tpu.solve.ams import solve_sharded_ams_pcg
+
+        p, mesh, A_halo, ams, cfg, pad_e = self._setup()
+        res8 = solve_sharded_ams_pcg(
+            A_halo, ams, cfg, jnp.asarray(p.rhs), mesh, pad_e, tol=1e-8
+        )
+        assert float(res8.rel_resnorm) < 1e-8
+        # single-device reference
+        ams1, cfg1 = build_ams(p.A, p.aux["G"])
+        conv = _format_converter(HierarchyParams())
+        res1 = solve_ams_pcg(
+            conv(p.A, jnp.float64), ams1, cfg1, jnp.asarray(p.rhs), tol=1e-8
+        )
+        # same Krylov trajectory up to halo-layout roundoff: iteration
+        # counts within 2 and solutions agree through the operator
+        assert abs(int(res8.iters) - int(res1.iters)) <= 2
+        r = np.asarray(p.rhs) - p.A.to_scipy() @ np.asarray(res8.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(p.rhs)) < 2e-8
+
+    def test_no_allgather_in_sharded_ams(self):
+        """The full jitted AMS-PCG program ships only boundary segments:
+        no all-gather in the compiled HLO (the coarse dense solve is the
+        replicated exception, as in the halo V-cycle)."""
+        import jax
+
+        from amg_tpu.parallel.dist import pad_vector
+        from amg_tpu.solve.ams import ams_precondition
+        from amg_tpu.solve.krylov import pcg
+
+        p, mesh, A_halo, ams, cfg, pad_e = self._setup()
+        b_pad = pad_vector(jnp.asarray(p.rhs), pad_e, mesh)
+        fn = jax.jit(
+            lambda A_, ams_, b_: pcg(
+                lambda v: A_ @ v,
+                lambda r: ams_precondition(ams_, cfg, r),
+                b_,
+                jnp.zeros_like(b_),
+                tol=1e-8,
+                max_iters=40,
+            )
+        )
+        txt = fn.lower(A_halo, ams, b_pad).compile().as_text()
+        assert "collective-permute" in txt or "all-to-all" in txt
+        # the coarse-grid dense solve legitimately gathers its (tiny)
+        # coarse vector; no FINE-size all-gather may appear
+        import re
+
+        for m in re.finditer(r"all-gather[^=]*=\s*\S+\s+f64\[(\d+)", txt):
+            assert int(m.group(1)) <= 1024, (
+                f"fine-size all-gather in AMS HLO: {m.group(0)}"
+            )
+
+    def test_additive_node_cycle(self):
+        """The node correction runs through the ADDITIVE cycle family too
+        (cfg.cycle=multadd) — the async-additive model of the reference's
+        config-5 path (src/DMEM_Add.cpp:20-178) driving the Maxwell
+        preconditioner."""
+        from amg_tpu.solve import CycleConfig, CycleType
+        from amg_tpu.smooth import SmootherType
+        from amg_tpu.solve.ams import solve_sharded_ams_pcg
+
+        p, mesh, A_halo, ams, cfg, pad_e = self._setup()
+        cfg_add = CycleConfig(
+            cycle=CycleType.MULTADD, smoother=SmootherType.L1_JACOBI,
+        )
+        res = solve_sharded_ams_pcg(
+            A_halo, ams, cfg_add, jnp.asarray(p.rhs), mesh, pad_e,
+            tol=1e-8, max_iters=120,
+        )
+        assert float(res.rel_resnorm) < 1e-8
+        r = np.asarray(p.rhs) - p.A.to_scipy() @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(p.rhs)) < 2e-8

@@ -66,3 +66,8 @@ def test_two_process_solves():
     # grid-mapped extended system across the process boundary
     assert r0["ext_rel"] <= 1e-8 and r1["ext_rel"] <= 1e-8
     assert r0["ext_iters"] == r1["ext_iters"]
+    # Maxwell distributed (config 5 as specified): sharded AMS-PCG with
+    # halo comm crossing processes, verified against the true residual
+    assert r0["maxwell_rel"] <= 1e-8 and r1["maxwell_rel"] <= 1e-8
+    assert r0["maxwell_iters"] == r1["maxwell_iters"] <= 60
+    assert r0["maxwell_true_rel"] <= 2e-8 and r1["maxwell_true_rel"] <= 2e-8
