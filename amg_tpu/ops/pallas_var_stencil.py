@@ -14,9 +14,14 @@ FREE row-offset slice of the flattened ((rows)*Yr, Xr) view — (dz*Yr + dy)
 rows — so the VPU work is ~2 ops/tap/element plus ~#dx rolls.
 
 Traffic per matvec: coeffs once (the m planes ARE the matrix — this is the
-irreducible stream), u once, y once. The coefficient stream bound for the
-99-offset beam operator is ~110 Gnnz/s at 819 GB/s vs 8 Gnnz/s measured
-for the XLA lowering.
+irreducible stream), u once, y once. The stream bound must be computed on
+the PADDED coefficient volume (c_pad bytes / 819 GB/s): for the 99-offset
+beam operators that is 218 us at 157k dofs / 386 us at 362k dofs, of
+which the kernel sustains 86-92% (round-4 measurement; the earlier
+"~110 Gnnz/s" figure here ignored lane/sublane padding and understated
+attained efficiency by ~3x). Benchmark chains of this operator MUST
+normalize between applications — ||A|| ~ 1e3 overflows f32 after ~12
+repeated applications and Inf/NaN chains time unreliably on the relay.
 
 State layout: padded (Zr, Yr, Xr) with a zero shell of per-axis halo
 widths (hz, hy, hx) = max |offset| per axis; interior at [hz:hz+Z,

@@ -768,7 +768,16 @@ def build_dia_structured_hierarchy(
                 scale = A_csr.l1_row_norms()
             hl.weight = 1.0 / max(estimate_rho_dinv_a(A_csr, scale=scale), 1e-12)
         hh.levels.append(hl)
-        sm = make_smoother_data(A_csr, smoother, w=hl.weight, dtype=dtype)
+        # jgs_weight='auto' carries the divergence guard the algebraic
+        # builder applies (hybrid JGS is only conditionally convergent
+        # on elasticity-class operators) — round-4 fix: the DIA builder
+        # previously dropped it, so JGS-smoothed DIA cycles diverged
+        sm = make_smoother_data(
+            A_csr, smoother, w=hl.weight, dtype=dtype,
+            block_size=(params.block_size if params is not None else 128),
+            jgs_weight=(getattr(params, 'jgs_weight', 'auto')
+                        if params is not None else 'auto'),
+        )
         n = A_csr.n_rows
         mask_f = _identity_row_mask(A_csr.to_scipy())
         # On identity-BC FEM grids (clamped dofs present ⇒ free faces
@@ -917,7 +926,16 @@ def build_structured_hierarchy(
                 scale = A_csr.l1_row_norms()
             hl.weight = 1.0 / max(estimate_rho_dinv_a(A_csr, scale=scale), 1e-12)
         hh.levels.append(hl)
-        sm = make_smoother_data(A_csr, smoother, w=hl.weight, dtype=dtype)
+        # jgs_weight='auto' carries the divergence guard the algebraic
+        # builder applies (hybrid JGS is only conditionally convergent
+        # on elasticity-class operators) — round-4 fix: the DIA builder
+        # previously dropped it, so JGS-smoothed DIA cycles diverged
+        sm = make_smoother_data(
+            A_csr, smoother, w=hl.weight, dtype=dtype,
+            block_size=(params.block_size if params is not None else 128),
+            jgs_weight=(getattr(params, 'jgs_weight', 'auto')
+                        if params is not None else 'auto'),
+        )
         n = A_csr.n_rows
         if n <= max_coarse_size or lvl == max_levels - 1 or min(shape) < 5:
             dev_levels.append(

