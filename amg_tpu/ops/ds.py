@@ -145,6 +145,8 @@ def bsr_matvec_comp(a, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def matvec_comp(A, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch the compensated matvec by operator type."""
+    if hasattr(A, "matvec_comp"):  # DiaKernelOperator: fused Pallas mode
+        return A.matvec_comp(x)
     if hasattr(A, "cols"):  # ELLMatrix
         return ell_matvec_comp(A, x)
     if hasattr(A, "block_cols"):  # BSRMatrix

@@ -105,12 +105,16 @@ def _var_kernel(
     """
     if mode == "sweep":
         b_ref, scale_ref, out_ref, ubufs, cbufs, acc_ref, sem = rest
+        err_ref = comp_ref = None
     elif mode == "residual":
         b_ref, out_ref, ubufs, cbufs, acc_ref, sem = rest
-        scale_ref = None
+        scale_ref = err_ref = comp_ref = None
+    elif mode == "spmv_comp":
+        out_ref, err_ref, ubufs, cbufs, acc_ref, comp_ref, sem = rest
+        b_ref = scale_ref = None
     else:
         out_ref, ubufs, cbufs, acc_ref, sem = rest
-        b_ref = scale_ref = None
+        b_ref = scale_ref = err_ref = comp_ref = None
     g = pl.program_id(0)
     Z, Y, X = dims
     hz, hy, hx = halos
@@ -223,26 +227,69 @@ def _var_kernel(
     for t, (dz, dy, dx) in enumerate(offsets):
         groups.setdefault(int(dx), []).append((int(dz), int(dy), t))
 
-    first = True
-    for dx, taps in sorted(groups.items()):
-        shifted = (
-            flat if dx == 0 else pltpu.roll(flat, jnp.int32((-dx) % Xr), 1)
+    if mode == "spmv_comp":
+        # double-single accumulation: Dekker TwoProd per tap + Knuth
+        # TwoSum into acc, with every error term collected in comp — the
+        # kernel realization of ops/ds.py::stencil_matvec_comp (y_hi +
+        # y_err accurate to ~eps^2; the matvec of the DS Krylov path)
+        # Dekker split factor: 2^ceil(mant/2) + 1 (f64 path = interpret
+        # parity testing only)
+        SPLIT = (
+            jnp.float64(134217729.0)
+            if ubufs.dtype == jnp.float64
+            else jnp.float32(4097.0)
         )
-        partial = None
-        for dz, dy, t in taps:
-            ro = FR + (hz + dz) * Yr + dy
-            blk = shifted[ro : ro + T * Yr, :].reshape(T, Yr, Xr)
-            # coefficient planes may stream at a narrower dtype (bf16):
-            # convert on the VPU, accumulate at the operand precision
-            term = cbufs[k_cur, t].astype(ubufs.dtype) * blk
-            partial = term if partial is None else partial + term
-        # accumulate through acc_ref so at most ~2 slab temporaries are
-        # live (Mosaic's scoped-VMEM accounting sums live temporaries)
-        if first:
-            acc_ref[...] = partial
-            first = False
-        else:
-            acc_ref[...] = acc_ref[...] + partial
+        acc_ref[...] = jnp.zeros((T, Yr, Xr), ubufs.dtype)
+        comp_ref[...] = jnp.zeros((T, Yr, Xr), ubufs.dtype)
+        for dx, taps in sorted(groups.items()):
+            shifted = (
+                flat
+                if dx == 0
+                else pltpu.roll(flat, jnp.int32((-dx) % Xr), 1)
+            )
+            for dz, dy, t in taps:
+                ro = FR + (hz + dz) * Yr + dy
+                blk = shifted[ro : ro + T * Yr, :].reshape(T, Yr, Xr)
+                c = cbufs[k_cur, t]
+                p = c * blk
+                cc = SPLIT * c
+                c_hi = cc - (cc - c)
+                c_lo = c - c_hi
+                bb_ = SPLIT * blk
+                b_hi = bb_ - (bb_ - blk)
+                b_lo = blk - b_hi
+                pe = (
+                    (c_hi * b_hi - p) + c_hi * b_lo + c_lo * b_hi
+                ) + c_lo * b_lo
+                a = acc_ref[...]
+                s = a + p
+                bb = s - a
+                e = (a - (s - bb)) + (p - bb)
+                acc_ref[...] = s
+                comp_ref[...] = comp_ref[...] + (e + pe)
+    else:
+        first = True
+        for dx, taps in sorted(groups.items()):
+            shifted = (
+                flat
+                if dx == 0
+                else pltpu.roll(flat, jnp.int32((-dx) % Xr), 1)
+            )
+            partial = None
+            for dz, dy, t in taps:
+                ro = FR + (hz + dz) * Yr + dy
+                blk = shifted[ro : ro + T * Yr, :].reshape(T, Yr, Xr)
+                # coefficient planes may stream at a narrower dtype (bf16):
+                # convert on the VPU, accumulate at the operand precision
+                term = cbufs[k_cur, t].astype(ubufs.dtype) * blk
+                partial = term if partial is None else partial + term
+            # accumulate through acc_ref so at most ~2 slab temporaries are
+            # live (Mosaic's scoped-VMEM accounting sums live temporaries)
+            if first:
+                acc_ref[...] = partial
+                first = False
+            else:
+                acc_ref[...] = acc_ref[...] + partial
 
     acc = acc_ref[...]
     zi = jax.lax.broadcasted_iota(jnp.int32, (T, Yr, Xr), 0) + g * T
@@ -255,6 +302,10 @@ def _var_kernel(
     )
     if mode == "spmv":
         val = acc
+    elif mode == "spmv_comp":
+        out_ref[...] = jnp.where(interior, acc, 0.0)
+        err_ref[...] = jnp.where(interior, comp_ref[...], 0.0)
+        return
     elif mode == "residual":
         val = b_ref[...] - acc
     elif mode == "sweep":
@@ -301,18 +352,35 @@ def _var_stencil_impl(
     if mode == "sweep":
         in_specs.append(blk())
         args.append(scale_pad)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Zr, Yr, Xr), u_pad.dtype),
-        grid=(G,),
-        in_specs=in_specs,
-        out_specs=blk(),
-        scratch_shapes=[
+    if mode == "spmv_comp":
+        out_shape = (
+            jax.ShapeDtypeStruct((Zr, Yr, Xr), u_pad.dtype),
+            jax.ShapeDtypeStruct((Zr, Yr, Xr), u_pad.dtype),
+        )
+        out_specs = (blk(), blk())
+        scratch = [
+            pltpu.VMEM((2, T + 2 * hz, Yr, Xr), u_pad.dtype),
+            pltpu.VMEM((2, m, T, Yr, Xr), c_pad.dtype),
+            pltpu.VMEM((T, Yr, Xr), u_pad.dtype),
+            pltpu.VMEM((T, Yr, Xr), u_pad.dtype),  # comp accumulator
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        out_shape = jax.ShapeDtypeStruct((Zr, Yr, Xr), u_pad.dtype)
+        out_specs = blk()
+        scratch = [
             pltpu.VMEM((2, T + 2 * hz, Yr, Xr), u_pad.dtype),
             pltpu.VMEM((2, m, T, Yr, Xr), c_pad.dtype),
             pltpu.VMEM((T, Yr, Xr), u_pad.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )(*args)
 
 

@@ -270,6 +270,22 @@ class DiaKernelOperator:
         )
         return self._from_kernel(rp).reshape(u.shape)
 
+    def matvec_comp(self, x: jnp.ndarray):
+        """(y, err) with y + err == A x to ~eps^2: the kernel's spmv_comp
+        mode (Dekker TwoProd per tap, Knuth TwoSum accumulation) — the
+        fast-path compensated matvec of the double-single Krylov solve
+        (ops/ds.py::matvec_comp dispatches here)."""
+        from amg_tpu.ops.pallas_var_stencil import var_stencil_kernel_padded
+
+        yp, ep = var_stencil_kernel_padded(
+            self._to_kernel(x), self.c_pad, self.offsets, self._pg,
+            mode="spmv_comp", slab=self.slab,
+        )
+        return (
+            self._from_kernel(yp).reshape(x.shape),
+            self._from_kernel(ep).reshape(x.shape),
+        )
+
     def fused_jacobi_sweeps(
         self,
         u: jnp.ndarray,
@@ -304,6 +320,23 @@ class DiaKernelOperator:
 
     def __matmul__(self, x):
         return self.matvec(x)
+
+
+def dia_kernel_pair(vs_hi: VarStencilOperator, vs_lo: VarStencilOperator):
+    """(op_hi, op_lo) DiaKernelOperators sharing one kernel layout, from a
+    double-single VarStencil coefficient pair (csr_to_dia_stencil with
+    return_lo=True) — the fast device operator pair for the DS Krylov
+    solve (solve/mixed.py::mixed_pcg): op_hi.matvec_comp runs the
+    compensated kernel; op_lo carries the f64->f32 rounding remainder for
+    the two plain low-order matvecs. Returns None when the operator is
+    outside the kernel envelope."""
+    op_hi = DiaKernelOperator.try_from_var_stencil(vs_hi)
+    if op_hi is None:
+        return None
+    # identical (grid_shape, offsets) => _best_perm picks the same layout
+    op_lo = DiaKernelOperator.from_var_stencil(vs_lo, slab=op_hi.slab)
+    assert op_lo.perm == op_hi.perm and op_lo.slab == op_hi.slab
+    return op_hi, op_lo
 
 
 @functools.lru_cache(maxsize=None)

@@ -165,12 +165,20 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             node_shape = tuple(gs[:-1]) + (gs[-1] // max(nf, 1),)
             if opts.mixed_precision:
                 # double-single operator pair for the accurate outer
-                # residual / DS-PCG matvec (solve/mixed.py::mixed_pcg)
-                from amg_tpu.setup.structured import csr_to_dia_stencil
+                # residual / DS-PCG matvec (solve/mixed.py::mixed_pcg);
+                # on TPU, the fused compensated-SpMV kernel pair
+                import jax as _jax
+
+                from amg_tpu.setup.structured import (
+                    csr_to_dia_stencil,
+                    dia_kernel_pair,
+                )
 
                 dia_pair = csr_to_dia_stencil(
                     prob.A, gs, jnp.float32, return_lo=True
                 )
+                if _jax.default_backend() != "cpu":
+                    dia_pair = dia_kernel_pair(*dia_pair) or dia_pair
             hh, hier = build_dia_structured_hierarchy(
                 prob.A,
                 node_shape,

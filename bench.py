@@ -613,7 +613,14 @@ def aux_dia_elasticity(smoke, dtype):
             vs_pair = csr_to_dia_stencil(
                 prob.A, prob.grid_shape, dtype, return_lo=True
             )
-            res = mixed_pcg(hier, vs_pair, cfg, b, tol=1e-5, max_cycles=60)
+            pair = vs_pair
+            if on_tpu:
+                # fused compensated-SpMV kernel pair (spmv_comp mode):
+                # 2.9x the XLA VarStencil DS matvec at this size
+                from amg_tpu.setup.structured import dia_kernel_pair
+
+                pair = dia_kernel_pair(*vs_pair) or vs_pair
+            res = mixed_pcg(hier, pair, cfg, b, tol=1e-5, max_cycles=60)
         else:
             res = solve(hier, cfg, b, tol=1e-5, max_cycles=40, outer="pcg")
         jax.block_until_ready(res.x)

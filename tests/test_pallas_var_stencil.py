@@ -140,3 +140,66 @@ def test_dia_kernel_operator_parity():
     np.testing.assert_allclose(
         np.asarray(op.diagonal()), prob.A.diagonal(), atol=1e-14
     )
+
+
+class TestSpmvCompMode:
+    """Compensated double-single SpMV mode (round 4): y_hi + y_err must be
+    accurate to ~eps^2 — the fast-path matvec of the DS Krylov solve
+    (solve/krylov.ds_pcg via ops/ds.matvec_comp dispatch)."""
+
+    def test_matches_xla_compensated(self):
+        import jax.numpy as jnp
+
+        from amg_tpu.ops.ds import stencil_matvec_comp
+        from amg_tpu.problems.elasticity import elasticity_beam
+        from amg_tpu.setup.structured import (
+            csr_to_dia_stencil,
+            dia_kernel_pair,
+        )
+
+        prob = elasticity_beam(nx=12, ny=4, nz=4, bc="identity")
+        vs, vs_lo = csr_to_dia_stencil(
+            prob.A, prob.grid_shape, jnp.float32, return_lo=True
+        )
+        op, op_lo = dia_kernel_pair(vs, vs_lo)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(prob.n) * 10,
+            jnp.float32,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            y, e = op.matvec_comp(x)
+        got = np.asarray(y, np.float64) + np.asarray(e, np.float64)
+        yr, er = stencil_matvec_comp(vs, x)
+        ref = np.asarray(yr, np.float64) + np.asarray(er, np.float64)
+        scale = np.linalg.norm(ref)
+        assert np.linalg.norm(got - ref) / scale < 1e-13
+
+    def test_ds_matvec_pair_true_operator(self):
+        """ds_matvec on the kernel pair reproduces the TRUE f64 operator
+        applied to the f32 input to ~1e-12 relative (operator rounding
+        fully compensated by the (hi, lo) coefficient split)."""
+        import jax.numpy as jnp
+
+        from amg_tpu.ops.ds import DS, ds_matvec
+        from amg_tpu.problems.elasticity import elasticity_beam
+        from amg_tpu.setup.structured import (
+            csr_to_dia_stencil,
+            dia_kernel_pair,
+        )
+
+        prob = elasticity_beam(nx=12, ny=4, nz=4, bc="identity")
+        pair = dia_kernel_pair(
+            *csr_to_dia_stencil(
+                prob.A, prob.grid_shape, jnp.float32, return_lo=True
+            )
+        )
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal(prob.n), jnp.float32
+        )
+        with pltpu.force_tpu_interpret_mode():
+            y = ds_matvec(pair, DS(x, jnp.zeros_like(x)))
+        got = np.asarray(y.hi, np.float64) + np.asarray(y.lo, np.float64)
+        exact = prob.A.to_scipy() @ np.asarray(x, np.float64)
+        assert (
+            np.linalg.norm(got - exact) / np.linalg.norm(exact) < 1e-12
+        )
