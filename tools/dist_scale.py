@@ -7,8 +7,8 @@ distributed paths at >= 1M dofs and records the convergence numbers:
   1. 8-device GSPMD-sharded structured hierarchy, 3D 27-pt Laplacian at
      102^3 = 1.06M dofs, V-cycle MULT to 1e-8 (f64 on the virtual CPU
      mesh; boundary-plane halo exchange inserted by GSPMD).
-  2. 8-device sharded DIA elasticity beam at >= 1M dofs
-     (nx=288, ny=24, nz=24 -> 1.08M dofs), V(2,2)-PCG.
+  2. 8-device sharded DIA elasticity beam at 1.26M dofs
+     (nx=384, ny=32, nz=32 -> 385*33*33*3 = 1,258,092), V(2,2)-PCG.
   3. 8-device halo-ELL (explicit boundary-segment comm) 3D 7-pt at
      96x96x112 = 1.03M dofs, V-cycle MULT.
 
@@ -90,7 +90,7 @@ def main(quick=False):
     print("struct_27pt:", out["struct_27pt"], flush=True)
 
     # --- 2) sharded DIA elasticity at 1.08M dofs --------------------------
-    nx, ny, nz = (48, 12, 12) if quick else (288, 24, 24)
+    nx, ny, nz = (48, 12, 12) if quick else (384, 32, 32)
     t0 = time.time()
     pe = elasticity_beam(nx=nx, ny=ny, nz=nz, bc="identity")
     _, hier_e = build_dia_structured_hierarchy(
@@ -129,7 +129,7 @@ def main(quick=False):
     b7 = pad_vector(
         jnp.asarray(np.random.default_rng(1).random(p7.n)), pad_info, mesh
     )
-    res_h = solve(hier_h, cfg, b7, tol=1e-8, max_cycles=40)
+    res_h = solve(hier_h, cfg, b7, tol=1e-8, max_cycles=80)
     jax.block_until_ready(res_h.x)
     x7 = np.asarray(unpad_vector(res_h.x, pad_info))
     true_rel = float(
