@@ -621,6 +621,20 @@ def aux_dia_elasticity(smoke, dtype):
 
                 pair = dia_kernel_pair(*vs_pair) or vs_pair
             res = mixed_pcg(hier, pair, cfg, b, tol=1e-5, max_cycles=60)
+            # wall time of the COMPLETE production mixed-precision solve
+            # (DS-PCG + refinement, warm caches — the end-to-end config-4
+            # number; per-cycle kernel costs are reported separately)
+            t0 = time.perf_counter()
+            res = mixed_pcg(hier, pair, cfg, b, tol=1e-5, max_cycles=60)
+            solve_s = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "elasticity_mixed_solve_s",
+                "value": solve_s,
+                "unit": "s",
+                "cycles": int(res.iters),
+                "rel_res": float(res.rel_resnorm),
+                "n": prob.n,
+            }))
         else:
             res = solve(hier, cfg, b, tol=1e-5, max_cycles=40, outer="pcg")
         jax.block_until_ready(res.x)
