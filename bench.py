@@ -187,12 +187,14 @@ def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s):
         z = sweep1(up)
         jax.block_until_ready(z)
 
+        import jax.numpy as jnp
+
         def chained(k):
             zz = up
             t0 = time.perf_counter()
             for _ in range(k):
                 zz = sweep1(zz)
-            jax.block_until_ready(zz)
+            float(jnp.sum(zz))  # materialize (relay sync)
             return time.perf_counter() - t0
 
         t0 = min(chained(51) for _ in range(2))
@@ -222,12 +224,14 @@ def aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s):
         z = sweep2(up)
         jax.block_until_ready(z)
 
+        import jax.numpy as jnp
+
         def chained(k):
             zz = up
             t0 = time.perf_counter()
             for _ in range(k):
                 zz = sweep2(zz)
-            jax.block_until_ready(zz)
+            float(jnp.sum(zz))  # materialize (relay sync)
             return time.perf_counter() - t0
 
         t0 = min(chained(51) for _ in range(2))
@@ -295,7 +299,7 @@ def aux_vcycle(smoke, dtype):
 
             def run_fixed(k):
                 out = struct_timed_cycles(hier, cfg, b, k)
-                jax.block_until_ready(out)
+                float(jnp.sum(out))  # materialize (relay sync)
 
             run_fixed(k0)
             run_fixed(k1)  # compile both
@@ -321,7 +325,7 @@ def aux_vcycle(smoke, dtype):
                 t0 = time.perf_counter()
                 for _ in range(k):
                     z = cyc(hier, z)
-                jax.block_until_ready(z)
+                float(jnp.sum(z))
                 return time.perf_counter() - t0
 
             k0, k1 = (2, 10) if smoke else (5, 45)
@@ -388,7 +392,7 @@ def aux_bsr(smoke, dtype):
             t0 = time.perf_counter()
             for _ in range(k):
                 zz = mv(zz)
-            jax.block_until_ready(zz)
+            float(jnp.sum(zz))  # materialize (relay sync)
             return time.perf_counter() - t0
 
         k0, k1 = (1, 21) if smoke else (1, 101)
@@ -476,7 +480,7 @@ def aux_file_bsr(smoke, dtype):
             t0 = time.perf_counter()
             for _ in range(k):
                 zz = mv(zz)
-            jax.block_until_ready(zz)
+            float(jnp.sum(zz))  # materialize (relay sync)
             return time.perf_counter() - t0
 
         k0, k1 = (1, 21) if smoke else (1, 101)
@@ -538,8 +542,8 @@ def _dia_rates(prob, op, dtype, smoke, suffix=""):
             t0 = time.perf_counter()
             for _ in range(k):
                 zz = f(op, zz)
-            jax.block_until_ready(zz)
-            return time.perf_counter() - t0
+            float(jnp.sum(zz))  # materialize: block_until_ready alone
+            return time.perf_counter() - t0  # under-reports on the relay
 
         t0 = min(chained(k0) for _ in range(2))
         t1 = min(chained(k1) for _ in range(2))
@@ -588,13 +592,18 @@ def aux_dia_elasticity(smoke, dtype):
 
         _dia_rates(prob, op, dtype, smoke)
 
-        # full solve through the all-DIA geometric hierarchy
+        # full solve through the all-DIA geometric hierarchy. Production
+        # smoother: hybrid JGS (round 4 — fused residual kernel + MXU
+        # block solve at the same per-sweep cost as Jacobi, 14 vs 20
+        # mixed-PCG iterations at this size; reference production menu:
+        # src/SMEM_Smooth.cpp:222-305)
         npts = (nx + 1, ny + 1, nz + 1)
         _, hier = build_dia_structured_hierarchy(
-            prob.A, npts, num_functions=3, dtype=dtype
+            prob.A, npts, num_functions=3, dtype=dtype,
+            smoother=SmootherType.HYBRID_JGS,
         )
         cfg = CycleConfig(
-            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI,
+            cycle=CycleType.MULT, smoother=SmootherType.HYBRID_JGS,
             num_pre_sweeps=2, num_post_sweeps=2,
         )
         b = jnp.asarray(
