@@ -317,3 +317,32 @@ def test_fused_multisweep_cycle_matches_reference():
         np.testing.assert_allclose(
             np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-12
         )
+
+
+class TestStructTimedCycles:
+    def test_fixed_cycle_program_matches_monitored_solve(self):
+        """struct_timed_cycles (the bench's per-cycle timing program of
+        record, round 4) must produce the same iterate as k cycles of the
+        monitored solve — the timed program times REAL cycles."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.solve.cycles import mult_vcycle
+        from amg_tpu.solve.struct_cycle import struct_timed_cycles
+
+        prob = laplacian_3d_27pt(12)
+        hh, hier = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI
+        )
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI
+        )
+        k = 5
+        with pltpu.force_tpu_interpret_mode():
+            x_timed = struct_timed_cycles(hier, cfg, b, k)
+        x_ref = jnp.zeros_like(b)
+        for _ in range(k):
+            x_ref = mult_vcycle(hier, cfg, x_ref, b)
+        np.testing.assert_allclose(
+            np.asarray(x_timed), np.asarray(x_ref), atol=1e-13
+        )
