@@ -525,6 +525,10 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         and opts.accel == "none"
         and opts.outer_solver == "none"
         and opts.num_devices <= 1
+        # the fused struct fine-level sweeps are (w/L1-)Jacobi; other
+        # smoothers must take the generic cycle (silently substituting a
+        # Jacobi sweep would change the configured iteration)
+        and smoother in (SmootherType.JACOBI, SmootherType.L1_JACOBI)
         and jax.default_backend() != "cpu"  # Pallas needs a real TPU
     ):
         # fused Pallas fine-level path (production single-chip stencil solve)
