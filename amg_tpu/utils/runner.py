@@ -627,7 +627,12 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
     stats.grid_wait = gw
     if (
         opts.print_level_stats
-        and opts.hierarchy == "algebraic"
+        # the segmented profiler is duck-typed over the level operators,
+        # so structured/DIA hierarchies profile too (round 4); only
+        # multi-device runs are excluded (phase timers would include the
+        # sharded launch overheads, not per-phase device time)
+        and opts.hierarchy in ("algebraic", "structured")
+        and opts.num_devices <= 1
         and opts.solver in ("mult", "multadd", "afacx", "afacj", "bpx")
     ):
         # per-phase instrumented re-run (segmented cycle; reference:

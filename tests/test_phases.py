@@ -92,3 +92,20 @@ def test_cli_iteration_sweep(capsys):
     for k in (2, 4, 6):
         assert f"=== num_cycles = {k} ===" in out
     assert out.count("cycles") >= 3
+
+
+class TestStructuredPhases:
+    def test_structured_hierarchy_profiles(self):
+        """Per-phase profiling covers structured/DIA hierarchies (round 4):
+        the segmented profiler is duck-typed over the level operators."""
+        from amg_tpu.utils.config import SolverOptions
+        from amg_tpu.utils.runner import run_experiment
+
+        st = run_experiment(SolverOptions(
+            problem="elasticity", nx=16, ny=4, nz=4, elast_bc="identity",
+            hierarchy="structured", solver="mult", print_level_stats=True,
+        ))
+        assert st.phase is not None
+        t = st.phase.totals()
+        assert t["smooth_wtime"] > 0 and t["residual_wtime"] > 0
+        assert st.phase.num_levels >= 2
