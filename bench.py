@@ -635,6 +635,9 @@ def aux_dia_elasticity(smoke, dtype):
             # number; per-cycle kernel costs are reported separately)
             t0 = time.perf_counter()
             res = mixed_pcg(hier, pair, cfg, b, tol=1e-5, max_cycles=60)
+            # materialize: the fused path is ONE async launch, so the
+            # timer must include the device work (relay sync caveat)
+            float(jnp.sum(res.x)) + float(res.rel_resnorm)
             solve_s = time.perf_counter() - t0
             print(json.dumps({
                 "metric": "elasticity_mixed_solve_s",

@@ -122,3 +122,36 @@ class TestMixedPCGElasticity:
         # after the PCG burn-in hump the outer-scaled history decreases
         assert h[-1] < 1e-5 * 1.01
         assert (np.diff(np.log10(h[4:])) < 1.0).all()
+
+
+class TestFusedMixedPCG:
+    def test_fused_matches_unfused_exactly(self):
+        """The single-program (one-launch) mixed_pcg must be bit-identical
+        to the host-loop version: same restarts, same iterates."""
+        prob = elasticity_beam(nx=48, ny=12, nz=12, bc="identity")
+        pair = csr_to_dia_stencil(
+            prob.A, prob.grid_shape, jnp.float32, return_lo=True
+        )
+        _, hier = build_dia_structured_hierarchy(
+            prob.A, (49, 13, 13), num_functions=3, dtype=jnp.float32,
+            smoother=SmootherType.HYBRID_JGS,
+        )
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.HYBRID_JGS,
+            num_pre_sweeps=2, num_post_sweeps=2,
+        )
+        b = jnp.asarray(
+            np.asarray(prob.rhs) / np.linalg.norm(prob.rhs), jnp.float32
+        )
+        ru = mixed_pcg(hier, pair, cfg, b, tol=1e-5, max_cycles=60,
+                       fused=False)
+        rf = mixed_pcg(hier, pair, cfg, b, tol=1e-5, max_cycles=60,
+                       fused=True)
+        assert int(ru.iters) == int(rf.iters)
+        assert float(ru.rel_resnorm) == float(rf.rel_resnorm)
+        np.testing.assert_array_equal(
+            np.asarray(ru.x), np.asarray(rf.x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ru.x_lo), np.asarray(rf.x_lo)
+        )
