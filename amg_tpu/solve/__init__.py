@@ -6,6 +6,7 @@ from amg_tpu.solve.cycles import (
     sync_additive_cycle,
 )
 from amg_tpu.solve.driver import SolveResult, solve
+from amg_tpu.solve.mixed import MixedSolveResult, mixed_pcg, mixed_solve
 
 __all__ = [
     "CycleConfig",
@@ -15,4 +16,7 @@ __all__ = [
     "sync_additive_cycle",
     "SolveResult",
     "solve",
+    "MixedSolveResult",
+    "mixed_pcg",
+    "mixed_solve",
 ]
