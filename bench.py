@@ -197,15 +197,21 @@ def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s):
             float(jnp.sum(zz))  # materialize (relay sync)
             return time.perf_counter() - t0
 
-        t0 = min(chained(51) for _ in range(2))
-        t1 = min(chained(301) for _ in range(2))
-        per = max((t1 - t0) / 250, 1e-12)
+        def measure():
+            t0 = min(chained(51) for _ in range(2))
+            t1 = min(chained(301) for _ in range(2))
+            return max((t1 - t0) / 250, 1e-12)
+
+        per = measure()
+        if (nnz / per) / roofline_nnz_per_s > 1.02:
+            per = measure()  # an unfused sweep cannot beat its roofline
         ratio = (nnz / per) / roofline_nnz_per_s
         print(json.dumps({
             "metric": "single_sweep_nnz_per_s",
             "value": nnz / per,
             "unit": "nnz/s",
             "vs_baseline": ratio,
+            "plausible": bool(ratio <= 1.02),
         }))
         return ratio
     except Exception as e:
@@ -545,9 +551,18 @@ def _dia_rates(prob, op, dtype, smoke, suffix=""):
             float(jnp.sum(zz))  # materialize: block_until_ready alone
             return time.perf_counter() - t0  # under-reports on the relay
 
-        t0 = min(chained(k0) for _ in range(2))
-        t1 = min(chained(k1) for _ in range(2))
-        per = max((t1 - t0) / (k1 - k0), 1e-12)
+        def measure():
+            t0 = min(chained(k0) for _ in range(2))
+            t1 = min(chained(k1) for _ in range(2))
+            return max((t1 - t0) / (k1 - k0), 1e-12)
+
+        per = measure()
+        # the relay backend occasionally reports a chain FASTER than the
+        # coefficient-stream bound allows (degenerate request-pattern
+        # pathology, see ops/pallas_var_stencil.py header): re-measure
+        # once and flag the record if it stays physically impossible
+        if not smoke and per < 0.95 * bound_s:
+            per = measure()
         print(json.dumps({
             "metric": name,
             "value": prob.A.nnz / per,
@@ -555,6 +570,7 @@ def _dia_rates(prob, op, dtype, smoke, suffix=""):
             "n": prob.n,
             "kernel": type(op).__name__,
             "vs_baseline": bound_s / per,  # fraction of stream bound
+            "plausible": bool(smoke or per >= 0.95 * bound_s),
         }))
 
 
