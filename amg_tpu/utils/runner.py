@@ -87,6 +87,20 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
     import jax
     import jax.numpy as jnp
 
+    if (
+        jax.default_backend() != "cpu"
+        and opts.tol < 1e-5
+        and not opts.mixed_precision
+    ):
+        # f32 device arithmetic stagnates around relative residual
+        # 1e-5/5e-5 at production sizes; tighter targets need the
+        # double-single path
+        print(
+            f"warning: tol={opts.tol:g} is below the f32 stagnation "
+            "floor on this backend — pass -mixed_precision for "
+            "double-single refinement to ~1e-9"
+        )
+
     from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
     from amg_tpu.smooth import SmootherType
     from amg_tpu.solve import CycleConfig, CycleType, solve

@@ -372,6 +372,9 @@ def aux_vcycle(smoke, dtype):
             "n": prob.n,
             "traffic_bound_ms": bound_ms,
             "plausible": bool(value_ms >= 0.8 * bound_ms),
+            # rel_res sits at the f32 stagnation floor (~5e-5 at 2M
+            # dofs) by design; 1e-8 routes through solve.mixed
+            "note": "f32 floor" if float(res.rel_resnorm) > 1e-5 else "",
         }))
     except Exception as e:  # aux metrics must never sink the headline
         print(json.dumps({"metric": "vcycle_ms", "error": str(e)[:200]}))
