@@ -147,6 +147,11 @@ def main():
                 or single_ratio
             )
         pair_ratio = aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s)
+        if pair_ratio is not None and pair_ratio < 0.8:
+            pair_ratio = (
+                aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s)
+                or pair_ratio
+            )
     aux_vcycle(smoke, dtype)
     aux_bsr(smoke, dtype)
     aux_file_bsr(smoke, dtype)
