@@ -86,7 +86,6 @@ def ds_pcg(
     attainable accuracy. b, x0: DS vectors. Returns x as a DS pair packed
     in PCGResult.x = (hi, lo)."""
     from amg_tpu.ops.ds import (
-        DS,
         ds_dot,
         ds_from,
         ds_matvec,
