@@ -96,6 +96,26 @@ def ell_from_csr(csr, k: int | None = None, dtype=None) -> ELLMatrix:
     )
 
 
+def ell_ds_pair(csr, k: int | None = None):
+    """(A_hi, A_lo) f32 ELL pair whose value sum represents the f64 matrix
+    — the double-single operator split for the UNSTRUCTURED path (the
+    matrix-from-file escape hatch), consumed by ops/ds.py::ds_matvec /
+    ds_residual and solve/mixed.mixed_pcg exactly like the DIA kernel
+    pair. Both share one cols array (the lo operator aliases it)."""
+    hi = ell_from_csr(csr, k=k, dtype=jnp.float32)
+    v64 = np.zeros(hi.vals.shape, np.float64)
+    counts = np.diff(csr.indptr)
+    if csr.nnz:
+        n = csr.n_rows
+        row_ids = np.repeat(np.arange(n), counts)
+        slot = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], counts)
+        v64[row_ids, slot] = csr.data
+    lo = (v64 - np.asarray(hi.vals, np.float64)).astype(np.float32)
+    return hi, ELLMatrix(
+        cols=hi.cols, vals=jnp.asarray(lo), shape_cols=csr.n_cols
+    )
+
+
 def ell_spmv(a: ELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x: gather + multiply + reduce over the (small) slot axis."""
     return jnp.sum(a.vals * x[a.cols], axis=1)

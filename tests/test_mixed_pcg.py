@@ -155,3 +155,52 @@ class TestFusedMixedPCG:
         np.testing.assert_array_equal(
             np.asarray(ru.x_lo), np.asarray(rf.x_lo)
         )
+
+
+class TestELLPairMixed:
+    def test_ell_ds_pair_matvec_true_operator(self):
+        """The unstructured (ELL) DS operator pair: ds_matvec reproduces
+        the true f64 matrix applied to the f32 input to ~1e-12 relative —
+        mixed precision for the matrix-from-file path."""
+        from amg_tpu.sparse.ell import ell_ds_pair
+
+        prob = elasticity_beam(nx=10, ny=4, nz=4, bc="identity")
+        pair = ell_ds_pair(prob.A)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(prob.n), jnp.float32
+        )
+        y = ds_matvec(pair, DS(x, jnp.zeros_like(x)))
+        got = np.asarray(y.hi, np.float64) + np.asarray(y.lo, np.float64)
+        exact = prob.A.to_scipy() @ np.asarray(x, np.float64)
+        assert np.linalg.norm(got - exact) / np.linalg.norm(exact) < 1e-12
+
+    def test_mixed_pcg_on_algebraic_hierarchy(self):
+        """mixed_pcg with an ELL pair + a classical (algebraic) f32
+        hierarchy: the file-matrix route reaches a TRUE residual (1e-9)
+        far beyond the plain-f32 floor. (Laplacian, not the beam —
+        classical AMG without rigid-body candidates is a known-poor
+        elasticity preconditioner; SA+RBM is that path's recipe.)"""
+        from amg_tpu.problems import laplacian_3d_27pt
+        from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+        from amg_tpu.sparse.ell import ell_ds_pair
+
+        prob = laplacian_3d_27pt(14)
+        pair = ell_ds_pair(prob.A)
+        params = HierarchyParams(
+            smoother=SmootherType.L1_JACOBI, dtype=jnp.float32,
+            keep_stencil_fine=False,
+        )
+        _, hier = build_hierarchy(prob.A, params)
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI,
+        )
+        b64 = np.random.default_rng(0).random(prob.n)
+        b64 /= np.linalg.norm(b64)
+        # pass the f64 RHS (numpy) so mixed_pcg's hi/lo split keeps the
+        # full-precision b — pre-casting to f32 would floor the TRUE
+        # residual at eps32*||b|| ~ 3e-8
+        res = mixed_pcg(hier, pair, cfg, b64, tol=1e-9, max_cycles=80)
+        assert float(res.rel_resnorm) <= 1e-9
+        x64 = np.asarray(res.x, np.float64) + np.asarray(res.x_lo, np.float64)
+        true_rel = np.linalg.norm(b64 - prob.A @ x64)
+        assert true_rel <= 2e-9
