@@ -160,11 +160,13 @@ def _oracle_classical_hierarchy(As, theta=0.25, max_levels=25, max_coarse=60):
     import scipy.sparse as sp
 
     levels = []
+    ops = []
     A = As.tocsr()
     while True:
         n = A.shape[0]
         levels.append((n, A.nnz))
         if n <= max_coarse or len(levels) >= max_levels:
+            ops.append((A, None))
             break
         D = A.diagonal()
         offd = (A - sp.diags(D)).tocoo()
@@ -204,6 +206,7 @@ def _oracle_classical_hierarchy(As, theta=0.25, max_levels=25, max_coarse=60):
         cols = np.concatenate([cmap[c_[fm]], np.arange(Cpts.size)])
         data = np.concatenate([w[fm], np.ones(Cpts.size)])
         P = sp.csr_matrix((data, (rows, cols)), shape=(n, Cpts.size))
+        ops.append((A, P))
         A = (P.T @ A @ P).tocsr()
         A.eliminate_zeros()
     ns = [l[0] for l in levels]
@@ -213,7 +216,39 @@ def _oracle_classical_hierarchy(As, theta=0.25, max_levels=25, max_coarse=60):
         "nnz": nnzs,
         "operator_complexity": sum(nnzs) / nnzs[0],
         "num_levels": len(ns),
+        "ops": ops,  # [(A_k, P_k)] with P None on the coarsest
     }
+
+
+def _oracle_vcycle_iters(oracle, b, tol=1e-8, max_iters=200, omega=2.0 / 3.0):
+    """Weighted-Jacobi V(1,1) cycle on the oracle hierarchy, plain scipy —
+    the independent multi-level CONVERGENCE yardstick."""
+    import numpy as np_
+    import scipy.sparse.linalg as spla
+
+    ops = oracle["ops"]
+    L = len(ops)
+    diags = [A.diagonal() for A, _ in ops]
+    coarse_lu = spla.splu(ops[-1][0].tocsc())
+
+    def vcycle(k, x, f):
+        A, P = ops[k]
+        if k == L - 1:
+            return coarse_lu.solve(f)
+        x = x + omega * (f - A @ x) / diags[k]
+        r = f - A @ x
+        e = vcycle(k + 1, np_.zeros(P.shape[1]), P.T @ r)
+        x = x + P @ e
+        x = x + omega * (f - A @ x) / diags[k]
+        return x
+
+    x = np_.zeros(b.size)
+    r0 = np_.linalg.norm(b)
+    for it in range(1, max_iters + 1):
+        x = vcycle(0, x, b)
+        if np_.linalg.norm(b - ops[0][0] @ x) / r0 <= tol:
+            return it
+    return max_iters
 
 
 @pytest.mark.parametrize("problem", ["27pt16", "7pt20"])
@@ -242,4 +277,35 @@ def test_hierarchy_within_multilevel_oracle_corridor(problem):
     assert 0.7 <= oc <= 1.35, (
         f"operator complexity drifted: repo {st['operator_complexity']:.3f}"
         f" vs oracle {oracle['operator_complexity']:.3f}"
+    )
+
+
+@pytest.mark.parametrize("problem", ["27pt16", "7pt16"])
+def test_convergence_within_multilevel_oracle_corridor(problem):
+    """Independent CONVERGENCE corridor: the production V(1,1) Jacobi
+    cycle must converge within 1.6x the iterations of the scipy-only
+    oracle V-cycle on the oracle's own textbook hierarchy (3D problems,
+    1e-8) — the multi-level analog of the round-1 two-grid oracle."""
+    import jax.numpy as jnp
+
+    from amg_tpu.problems import laplacian_3d_7pt, laplacian_3d_27pt
+    from amg_tpu.setup.hierarchy import HierarchyParams, build_hierarchy
+    from amg_tpu.smooth import SmootherType
+    from amg_tpu.solve import CycleConfig, CycleType, solve
+
+    prob = (
+        laplacian_3d_27pt(16) if problem == "27pt16" else laplacian_3d_7pt(16)
+    )
+    oracle = _oracle_classical_hierarchy(prob.A.to_scipy())
+    b = np.random.default_rng(0).random(prob.n)
+    oracle_iters = _oracle_vcycle_iters(oracle, b, tol=1e-8)
+    assert oracle_iters < 200, "oracle itself failed to converge"
+
+    params = HierarchyParams(smoother=SmootherType.JACOBI)
+    hh, hier = build_hierarchy(prob.A, params, fine_stencil=prob.stencil)
+    cfg = CycleConfig(cycle=CycleType.MULT, smoother=SmootherType.JACOBI)
+    res = solve(hier, cfg, jnp.asarray(b), tol=1e-8, max_cycles=400)
+    assert float(res.rel_resnorm) <= 1e-8
+    assert int(res.iters) <= max(1.6 * oracle_iters, oracle_iters + 3), (
+        f"amg_tpu took {int(res.iters)} vs oracle {oracle_iters}"
     )
