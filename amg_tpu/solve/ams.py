@@ -165,6 +165,104 @@ def build_sharded_ams(
     return A_halo, data, cfg, (E, E_pad), pad_node
 
 
+def ams_async_additive_solve(
+    A_dev,
+    ams: AMSData,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    key=None,
+    omega: float = 0.5,  # stable under bounded staleness (0.7 diverges
+    fire_prob: float = 0.8,  # at sim_read_delay=2 on the n=8 testbed)
+    sim_read_delay: int = 2,
+    tol: float = 1e-6,
+    max_cycles: int = 600,
+):
+    """ASYNCHRONOUS additive auxiliary-space Maxwell solve — the literal
+    BASELINE config-5 composition (reference: src/Maxwell.cpp fed into
+    the async additive engine, src/DMEM_Add.cpp:20-178): the edge
+    smoother and each nodal level form independent correction groups that
+    fire at their own rates against bounded-staleness iterates (the
+    SEQ_Add_Vcycle_SimRand model, src/SEQ_AMG.cpp:531-793), corrections
+    accumulated into x.
+
+        group 0  : c = w S^-1 r            (edge Jacobi)
+        group k+1: c = G · add_corr_k(G^T r)   (node level k, prolongated
+                                                through the gradient)
+
+    This mode trades convergence rate for asynchrony exactly as the
+    reference's async additive does (rate ~0.97/cycle here vs the
+    PCG-wrapped AMS's ~0.5); solve_ams_pcg / solve_sharded_ams_pcg are
+    the production Maxwell routes. One jitted lax.while_loop.
+    """
+    import jax
+
+    from amg_tpu.solve.cycles import CycleConfig, CycleType, additive_correction
+    from amg_tpu.smooth import SmootherType
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    nh = ams.node_hier
+    Lg = 1 + nh.num_levels  # correction groups
+    W = sim_read_delay + 1
+    cfg_add = CycleConfig(
+        cycle=CycleType.MULTADD, smoother=SmootherType.L1_JACOBI
+    )
+
+    def group_correction(g, r):
+        if g == 0:
+            return ams.inv_wscale * r
+        rn = ams.Gt @ r
+        return ams.G @ additive_correction(nh, cfg_add, rn, g - 1)
+
+    def loop(A_, ams_, b_, x0_, key_):
+        r0n = jnp.linalg.norm(b_ - A_ @ x0_)
+        safe = jnp.where(r0n == 0.0, 1.0, r0n)
+        ring0 = jnp.tile(x0_[None, :], (W, 1))
+        hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=b_.dtype)
+        hist0 = hist0.at[0].set(1.0)
+
+        def body(st):
+            x, ring, k, rel, hist, kk = st
+            kk, kf, kr = jax.random.split(kk, 3)
+            fire = jax.random.uniform(kf, (Lg,), b_.dtype) < fire_prob
+            cols = jnp.round(
+                jnp.maximum(k - sim_read_delay, 0)
+                + jax.random.uniform(kr, (Lg,))
+                * (k - jnp.maximum(k - sim_read_delay, 0))
+            ).astype(jnp.int32)
+            c = jnp.zeros_like(x)
+            for g in range(Lg):
+                x_stale = ring[cols[g] % W]
+                r_g = b_ - A_ @ x_stale
+                c = c + jnp.where(
+                    fire[g], group_correction(g, r_g), jnp.zeros_like(c)
+                )
+            x = x + omega * c
+            r = b_ - A_ @ x
+            rel = jnp.linalg.norm(r) / safe
+            hist = hist.at[k + 1].set(rel)
+            ring = ring.at[(k + 1) % W].set(x)
+            return (x, ring, k + 1, rel, hist, kk)
+
+        def cond(st):
+            _, _, k, rel, _, _ = st
+            return (k < max_cycles) & (rel > tol) & (rel < 1e3)
+
+        st = (
+            x0_, ring0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(1.0, b_.dtype), hist0, key_,
+        )
+        x, _, it, rel, hist, _ = jax.lax.while_loop(cond, body, st)
+        return x, it, rel, hist
+
+    x, it, rel, hist = jax.jit(loop)(A_dev, ams, b, x0, key)
+    from amg_tpu.solve.driver import SolveResult
+
+    return SolveResult(x=x, iters=it, rel_resnorm=rel, history=hist)
+
+
 def solve_sharded_ams_pcg(
     A_halo,
     ams: AMSData,

@@ -157,3 +157,45 @@ class TestShardedAMS:
         assert float(res.rel_resnorm) < 1e-8
         r = np.asarray(p.rhs) - p.A.to_scipy() @ np.asarray(res.x)
         assert np.linalg.norm(r) / np.linalg.norm(np.asarray(p.rhs)) < 2e-8
+
+
+class TestAsyncAdditiveAMS:
+    """The literal config-5 composition: async additive auxiliary-space
+    Maxwell (edge-smoother + node-level groups firing independently
+    against bounded-staleness iterates; reference src/Maxwell.cpp +
+    src/DMEM_Add.cpp). Slow by design — the production Maxwell route is
+    AMS-PCG; this pins the async semantics."""
+
+    def _setup(self):
+        from amg_tpu.solve.ams import ams_async_additive_solve
+
+        p = maxwell_curlcurl(n=8, sigma=1.0)
+        ams, _ = build_ams(p.A, p.aux["G"])
+        A = _format_converter(HierarchyParams())(p.A, jnp.float64)
+        return p, ams, A, jnp.asarray(p.rhs)
+
+    def test_synchronous_limit_converges(self):
+        from amg_tpu.solve.ams import ams_async_additive_solve
+
+        p, ams, A, b = self._setup()
+        # omega 0.7 is stable (and faster) WITHOUT staleness; the damped
+        # default exists for stale reads
+        res = ams_async_additive_solve(
+            A, ams, b, omega=0.7, sim_read_delay=0, tol=1e-4,
+            max_cycles=800,
+        )
+        assert float(res.rel_resnorm) <= 1e-4
+        r = np.asarray(b) - p.A.to_scipy() @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 2e-4
+
+    def test_bounded_staleness_converges(self):
+        """Async reads up to 2 supersteps stale still converge at the
+        damped default (omega=0.5; 0.7 diverges at this staleness — the
+        rate/asynchrony tradeoff the reference's experiments study)."""
+        from amg_tpu.solve.ams import ams_async_additive_solve
+
+        p, ams, A, b = self._setup()
+        res = ams_async_additive_solve(
+            A, ams, b, sim_read_delay=2, tol=1e-4, max_cycles=1200,
+        )
+        assert float(res.rel_resnorm) <= 1e-4
