@@ -292,12 +292,24 @@ def grid_parallel_solve(
             "local convergence needs each device's own residual view "
             "(res_mode='recompute')"
         )
+    accel_on = acfg.accel in ("cheby", "richardson")
+    if accel_on:
+        assert acfg.comm_every == 1, (
+            "async accel does not compose with comm coalescing"
+        )
+        assert not local_conv, "async accel needs global convergence"
+        assert acfg.cheby_mu > 1.0 and acfg.cheby_delta > 0.0, (
+            "accel needs cheby_mu/cheby_delta from cheby_setup eig bounds"
+        )
     L = hier.num_levels
     n = b.shape[0]
     dtype = b.dtype
     W = acfg.sim_read_delay + 1
     probs = _fire_probs(acfg, L).astype(dtype)
     scale = jnp.asarray(level_scale, dtype)
+    cg = min(max(acfg.cheby_grid, 0), L - 1)
+    mu_s = jnp.asarray(acfg.cheby_mu if accel_on else 2.0, dtype)
+    delta_s = jnp.asarray(acfg.cheby_delta, dtype)
     n_pad = -(-n // D) * D  # fused-norm partials use a (D, n_pad/D) view
 
     # owned operator storage: device-major pools sharded over the mesh —
@@ -324,29 +336,34 @@ def grid_parallel_solve(
             )
             return stats[0], stats[1]
 
-        def level_correction(hview, ring, cols, fire_lvl, lvl, c_pend):
+        def level_correction(hview, ring, cols, fire_lvl, lvl, c_pend, ls):
             """Owner-only work: stale read (+ stale residual) + correction.
             The device's own pending (not-yet-exchanged) corrections are
             visible in its own reads — the reference applies its corrections
             to its local x every cycle and ships them every Nth
-            (src/DMEM_Add.cpp:391-458)."""
+            (src/DMEM_Add.cpp:391-458). `ls` is the per-level accel scale
+            (omega_k*delta from the level's own recurrence; 1.0 without
+            accel — see the DMEM_ChebyUpdate analog below)."""
             stale = _gather_stale(acfg, ring, cols, n)
             if acfg.read_type == "sol":
                 r_stale = b_ - A0 @ (stale + acfg.omega * c_pend)
             else:
                 r_stale = stale
-            c = scale[lvl] * additive_correction(hview, cfg, r_stale, lvl)
+            c = (ls[lvl] * scale[lvl]) * additive_correction(
+                hview, cfg, r_stale, lvl
+            )
             return jnp.where(fire_lvl, c, jnp.zeros_like(c))
 
         def make_branch(d_idx, my_levels):
             def branch(op):
                 # this device's hierarchy view, sliced from ITS pool shard
                 hview = _reconstruct_view(L, metas[d_idx], pool_row, A0)
-                ring, cols_all, fire, c_pend = op
+                ring, cols_all, fire, c_pend, ls = op
                 c = jnp.zeros(n, dtype)
                 for lvl in my_levels:
                     c = c + level_correction(
-                        hview, ring, cols_all[lvl], fire[lvl], lvl, c_pend
+                        hview, ring, cols_all[lvl], fire[lvl], lvl, c_pend,
+                        ls,
                     )
                 return c
 
@@ -374,7 +391,8 @@ def grid_parallel_solve(
 
         def body(state):
             (x, ring, lr, gw, marks, gcorr, r_state, c_pend, waits, k,
-             relnorm, nflags, dflag, hist, key_s) = state
+             relnorm, nflags, dflag, hist, key_s, d_dir, cheb_c, cheb_cp,
+             cyc) = state
             key_s, kf, kp, *kreads = jax.random.split(key_s, 3 + L)
             if acfg.sim_grid_wait > 0:
                 # wait-counter firing, replicated across devices — the same
@@ -404,13 +422,34 @@ def grid_parallel_solve(
                 )
             cols_all = jnp.stack(cols_all)
 
+            # per-level accel scale from each level group's own recurrence
+            # (the sim's DMEM_ChebyUpdate analog — replicated scalars, so
+            # the transform needs no extra comm)
+            if accel_on:
+                c_next = 2.0 * mu_s * cheb_c - cheb_cp
+                if acfg.accel == "richardson":
+                    om = jnp.full(
+                        (L,),
+                        2.0
+                        / (1.0 + (1.0 - 1.0 / (acfg.cheby_mu ** 2)) ** 0.5),
+                        dtype,
+                    )
+                else:
+                    om = 2.0 * mu_s * cheb_c / c_next
+                first_f = cyc == 0
+                lvl_scale = jnp.where(
+                    first_f, jnp.asarray(1.0, dtype), om * delta_s
+                )
+            else:
+                lvl_scale = jnp.ones(L, dtype)
+
             # owner-only corrections; psum = the ACCUMULATE exchange. With
             # comm_every > 1 the exchange fires only every Nth superstep;
             # corrections coalesce into the pending buffer between flushes
             # (the reference's -async_comm_save_divisor + in-flight pool
             # coalescing, src/DMEM_Add.cpp:375-383)
             c_part = jax.lax.switch(
-                d, branches, (ring, cols_all, fire, c_pend)
+                d, branches, (ring, cols_all, fire, c_pend, lvl_scale)
             )
             if local_conv:
                 # LOCAL_CONVERGE (reference CheckConverge else-branch,
@@ -419,10 +458,27 @@ def grid_parallel_solve(
                 c_part = jnp.where(dflag > 0.5, 0.0, c_part)
             c_new = c_pend + c_part  # raw (unscaled) pending corrections
             flush = ((k + 1) % acfg.comm_every) == 0
-            total_c = acfg.omega * jax.lax.psum(
+            om_apply = 1.0 if accel_on else acfg.omega  # sim parity
+            total_c = om_apply * jax.lax.psum(
                 jnp.where(flush, c_new, jnp.zeros_like(c_new)), axis
             )
+            if accel_on:
+                # the cheby_grid group's momentum term rides OUTSIDE the
+                # psum (d is replicated): applied = (om-1) d + om*delta*u,
+                # and d accumulates every applied correction
+                # (src/DMEM_Misc.cpp:651-662, src/DMEM_Add.cpp:511-517)
+                mom = jnp.where(
+                    fire[cg] & ~first_f[cg], om[cg] - 1.0,
+                    jnp.asarray(0.0, dtype),
+                )
+                total_c = total_c + mom * d_dir
             x = x + total_c
+            if accel_on:
+                d_dir = jnp.where(fire[cg], total_c, d_dir + total_c)
+                adv = fire & ~first_f
+                cheb_cp = jnp.where(adv, cheb_c, cheb_cp)
+                cheb_c = jnp.where(adv, c_next, cheb_c)
+                cyc = cyc + fire.astype(jnp.int32)
             c_pend = jnp.where(flush, jnp.zeros_like(c_new), c_new)
 
             # grid-wait accounting in random apply order (replicated;
@@ -477,7 +533,8 @@ def grid_parallel_solve(
             ring = ring.at[(k + 1) % W].set(snap)
             return (
                 x, ring, new_lr, gw, marks, gcorr, r_maint, c_pend, waits,
-                k + 1, relnorm, nfl, dflag, hist, key_s,
+                k + 1, relnorm, nfl, dflag, hist, key_s, d_dir, cheb_c,
+                cheb_cp, cyc,
             )
 
         def cond(state):
@@ -513,9 +570,13 @@ def grid_parallel_solve(
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
             vary(jnp.asarray(0.0, dtype)),
             hist0, key_,
+            jnp.zeros(n, dtype),  # cheby direction d (psum output: unvaried)
+            jnp.full((L,), mu_s, dtype),  # c seeds T_1 = mu
+            jnp.ones(L, dtype),  # c_prev seeds T_0 = 1
+            jnp.zeros(L, jnp.int32),  # per-level cycle counts
         )
         (x, _, _, gw, _, _, _, c_pend, _, it, relnorm, _, _, hist,
-         _) = jax.lax.while_loop(cond, body, state)
+         _, _, _, _, _) = jax.lax.while_loop(cond, body, state)
         # unflushed pending corrections enter the final answer (the drain
         # loop of the reference's AsyncRecvCleanup, src/DMEM_Add.cpp:827-890)
         x = x + acfg.omega * jax.lax.psum(c_pend, axis)

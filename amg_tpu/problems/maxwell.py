@@ -175,6 +175,54 @@ def maxwell_curlcurl(
     interior = ((nidx > 0) & (nidx < npts - 1)).all(axis=1)
     G_red = CSRMatrix.from_scipy(G[keep][:, interior].tocsr())
 
+    # Nedelec nodal interpolation Pi: 3-component VECTOR nodal fields →
+    # edge dofs, (Pi u)_e = (u_d(p) + u_d(q))/2 for an edge along axis d
+    # with endpoints p,q (edge dofs here are tangential field values, the
+    # same normalization as G). This is the second auxiliary space of the
+    # full Hiptmair-Xu/AMS decomposition (hypre AMS's Pi operator): range(G)
+    # covers the gradient near-nullspace, range(Pi) the remaining
+    # low-frequency (divergence-free) fields — without it the additive
+    # preconditioner's smallest eigenvalue collapses (measured kappa 46 vs
+    # 2.0 with Pi on the n=8 mesh, ideal subspace solves). PEC: the
+    # component u_d at a node is a tangential trace on any boundary plane
+    # orthogonal to an axis != d, so (d, node) dofs are kept iff the node
+    # is interior along both axes != d.
+    n_nodes = int(np.prod(node_shape))
+    prows, pcols, pvals = [], [], []
+    for d in range(3):
+        es = eshapes[d]
+        eidx = np.stack(
+            np.meshgrid(*[np.arange(s) for s in es], indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+        eid = eoff[d] + np.arange(eidx.shape[0])
+        lo = eidx
+        hi = eidx.copy()
+        hi[:, d] += 1
+        for nn in (lo, hi):
+            prows.append(eid)
+            pcols.append(
+                d * n_nodes + np.ravel_multi_index(tuple(nn.T), node_shape)
+            )
+            pvals.append(np.full(eid.shape, 0.5))
+    Pi = sp.coo_matrix(
+        (
+            np.concatenate(pvals),
+            (np.concatenate(prows), np.concatenate(pcols)),
+        ),
+        shape=(n_edges, 3 * n_nodes),
+    ).tocsr()
+    comp_keep = np.zeros((3, n_nodes), dtype=bool)
+    for d in range(3):
+        ok = np.ones(n_nodes, dtype=bool)
+        for pax in range(3):
+            if pax == d:
+                continue
+            ok &= (nidx[:, pax] > 0) & (nidx[:, pax] < npts - 1)
+        comp_keep[d] = ok
+    Pi_red = CSRMatrix.from_scipy(
+        Pi[keep][:, comp_keep.reshape(-1)].tocsr()
+    )
+
     # smooth rhs sampled at interior edge midpoints (x-edges get the field)
     f = np.zeros(n_edges)
     es = eshapes[0]
@@ -191,5 +239,5 @@ def maxwell_curlcurl(
         stencil=None,
         grid_shape=None,
         rhs=f[keep],
-        aux={"G": G_red},
+        aux={"G": G_red, "Pi": Pi_red},
     )

@@ -63,7 +63,14 @@ def cheby_init(n: int, dtype) -> ChebyState:
 def cheby_update(
     state: ChebyState, u: jnp.ndarray, coeffs: ChebyCoeffs, richardson: bool = False
 ) -> ChebyState:
-    """One accelerated-direction update (branch-free under jit)."""
+    """One accelerated-direction update (branch-free under jit).
+
+    Recurrence seeds follow the Chebyshev polynomials exactly (T_0 = 1,
+    T_1 = mu, omega_k = 2 mu T_k / T_{k+1}; the reference seeds
+    c_prev = 1, c = mu at setup, src/DMEM_Setup.cpp:1909-1910): the k = 0
+    copy step leaves c = T_1 = mu behind, so the first accelerated update
+    uses omega = 2 mu^2/(2 mu^2 - 1) — rounds 1-4 seeded c = 1 and ran
+    every subsequent omega off the optimal polynomial."""
     c_new = 2.0 * coeffs.mu * state.c - state.c_prev
     if richardson:
         omega = 2.0 / (1.0 + (1.0 - 1.0 / (coeffs.mu * coeffs.mu)) ** 0.5)
@@ -72,9 +79,10 @@ def cheby_update(
     d_acc = (omega - 1.0) * state.d + omega * coeffs.delta * u
     first = state.k == 0
     d = jnp.where(first, u, d_acc)
+    mu_t = jnp.asarray(coeffs.mu, dtype=state.c.dtype)
     return ChebyState(
         d=d,
-        c=jnp.where(first, state.c, c_new),
+        c=jnp.where(first, mu_t, c_new),
         c_prev=jnp.where(first, state.c_prev, state.c),
         k=state.k + 1,
     )

@@ -5,14 +5,22 @@ straight into BoomerAMG, which converges poorly: the curl-curl operator's
 near-nullspace is the whole range of the discrete gradient G (C @ G = 0 by
 the exact sequence), and nodal AMG cannot see it in the edge unknowns. The
 standard cure (hypre's AMS / Hiptmair's hybrid smoother) corrects in the
-potential space explicitly. This module implements the additive variant:
+potential space explicitly. This module implements the additive
+Hiptmair-Xu decomposition (both auxiliary spaces, as hypre AMS):
 
-    M^-1 r  =  w S^-1 r  +  G · B_n( G^T r )
+    M^-1 r  =  w S^-1 r  +  G · B_n( G^T r )  +  Pi · B_p( Pi^T r )
 
-where w S^-1 is one (SPD) weighted Jacobi/L1 sweep on the edge operator and
+where w S^-1 is one (SPD) weighted Jacobi/L1 sweep on the edge operator,
 B_n is one AMG V-cycle on the nodal operator A_n = G^T A G (for the lumped
 lowest-order discretization A_n = sigma·vol·(node Laplacian) — the exact
-sequence kills the curl term). M is SPD, so it drives PCG.
+sequence kills the curl term), and B_p is one AMG V-cycle on the VECTOR
+nodal operator A_p = Pi^T A Pi with Pi the Nedelec nodal interpolation
+(problems.maxwell aux['Pi']). range(G) covers the gradient near-nullspace,
+range(Pi) the remaining low-frequency divergence-free fields — without the
+Pi term the additive operator's smallest eigenvalue collapses (measured
+kappa 46 vs 2.0 with Pi, n=8 mesh, ideal subspace solves), which is the
+difference between a stalling async additive solve and a contracting one.
+M is SPD, so it drives PCG. Pi=None falls back to the two-term variant.
 
 Everything device-side is jittable: G converts to the gather-amortized
 device formats and the nodal cycle is the ordinary hierarchy apply — so the
@@ -42,6 +50,9 @@ class AMSData(NamedTuple):
     Gt: object  # nodes × edges
     inv_wscale: jnp.ndarray  # edge smoother w / scale
     node_hier: Hierarchy  # AMG hierarchy on G^T A G
+    Pi: object = None  # edges × 3·nodes Nedelec nodal interpolation
+    Pit: object = None
+    pi_hier: Hierarchy | None = None  # AMG hierarchy on Pi^T A Pi
 
 
 def build_ams(
@@ -49,11 +60,14 @@ def build_ams(
     G: CSRMatrix,
     params: HierarchyParams | None = None,
     smoother_weight: float | None = None,
+    Pi: CSRMatrix | None = None,
 ) -> tuple:
     """Set up the AMS preconditioner. Returns (AMSData, node CycleConfig).
 
-    `G` is the discrete gradient (e.g. Problem.aux['G'] from
-    amg_tpu.problems.maxwell)."""
+    `G` is the discrete gradient and `Pi` the (optional) Nedelec nodal
+    interpolation (Problem.aux['G'] / aux['Pi'] from
+    amg_tpu.problems.maxwell); with Pi the full Hiptmair-Xu two-auxiliary-
+    space decomposition is built (hypre AMS's cycle type 1 analog)."""
     import scipy.sparse as sp
 
     from amg_tpu.setup.hierarchy import _format_converter
@@ -66,6 +80,17 @@ def build_ams(
     Gs = G.to_scipy().tocsr()
     A_n = CSRMatrix.from_scipy((Gs.T @ (As @ Gs)).tocsr())
     _, node_hier = build_hierarchy(A_n, params)
+    convert = _format_converter(params)
+    pi_kw = {}
+    if Pi is not None:
+        Pis = Pi.to_scipy().tocsr()
+        A_p = CSRMatrix.from_scipy((Pis.T @ (As @ Pis)).tocsr())
+        _, pi_hier = build_hierarchy(A_p, params)
+        pi_kw = dict(
+            Pi=convert(Pi, params.dtype),
+            Pit=convert(Pi.transpose(), params.dtype),
+            pi_hier=pi_hier,
+        )
 
     # SPD edge smoother term: w * scale^-1 with w = 1/rho(S^-1 A)
     scale = A_edge.l1_row_norms()
@@ -74,12 +99,12 @@ def build_ams(
         smoother_weight = 1.0 / max(
             estimate_rho_dinv_a(A_edge, seed=params.seed, scale=scale), 1e-12
         )
-    convert = _format_converter(params)
     data = AMSData(
         G=convert(G, params.dtype),
         Gt=convert(G.transpose(), params.dtype),
         inv_wscale=jnp.asarray(smoother_weight / scale, dtype=params.dtype),
         node_hier=node_hier,
+        **pi_kw,
     )
     cfg = CycleConfig(cycle=CycleType.MULT, smoother=params.smoother)
     return data, cfg
@@ -88,19 +113,23 @@ def build_ams(
 def ams_precondition(
     ams: AMSData, cfg: CycleConfig, r: jnp.ndarray
 ) -> jnp.ndarray:
-    """Apply M^-1 r = w S^-1 r + G C(G^T r), where C is one cycle of the
-    configured type on the nodal hierarchy (MULT V-cycle by default; any
-    additive cycle — multadd/AFACx/BPX — via cfg.cycle, so the async
-    additive machinery drives the node correction too). Jittable."""
+    """Apply M^-1 r = w S^-1 r + G C(G^T r) [+ Pi C(Pi^T r)], where C is
+    one cycle of the configured type on the nodal (and vector-nodal)
+    hierarchy (MULT V-cycle by default; any additive cycle —
+    multadd/AFACx/BPX — via cfg.cycle, so the async additive machinery
+    drives the auxiliary corrections too). Jittable."""
     from amg_tpu.solve.cycles import cycle_step
 
+    def aux_cycle(hier, rr):
+        if cfg.cycle == CycleType.MULT:
+            return mult_vcycle(hier, cfg, jnp.zeros_like(rr), rr)
+        return cycle_step(hier, cfg, jnp.zeros_like(rr), rr)
+
     e_smooth = ams.inv_wscale * r
-    r_n = ams.Gt @ r
-    if cfg.cycle == CycleType.MULT:
-        e_n = mult_vcycle(ams.node_hier, cfg, jnp.zeros_like(r_n), r_n)
-    else:
-        e_n = cycle_step(ams.node_hier, cfg, jnp.zeros_like(r_n), r_n)
-    return e_smooth + ams.G @ e_n
+    e = e_smooth + ams.G @ aux_cycle(ams.node_hier, ams.Gt @ r)
+    if ams.pi_hier is not None:
+        e = e + ams.Pi @ aux_cycle(ams.pi_hier, ams.Pit @ r)
+    return e
 
 
 def build_sharded_ams(
@@ -171,11 +200,17 @@ def ams_async_additive_solve(
     b: jnp.ndarray,
     x0: jnp.ndarray | None = None,
     key=None,
-    omega: float = 0.5,  # stable under bounded staleness (0.7 diverges
-    fire_prob: float = 0.8,  # at sim_read_delay=2 on the n=8 testbed)
+    omega="auto",  # "auto": 0.7 * 2/(alpha+beta) from estimated eig bounds
+    fire_prob: float = 0.8,
     sim_read_delay: int = 2,
     tol: float = 1e-6,
     max_cycles: int = 600,
+    accel: str = "none",  # none | cheby | richardson (asymmetric async)
+    cheby_coeffs=None,  # auto-estimated from the additive AMS operator
+    cheby_grid: int = 0,  # group keeping the 3-term direction (0 = edge)
+    cheby_damp: float = 1.0,  # staleness damping of delta
+    cheby_restart: int = 16,  # restart the recurrences every m group-cycles
+    smoothed_transfers: bool = True,  # G-smoothed P/R in the aux multadds
 ):
     """ASYNCHRONOUS additive auxiliary-space Maxwell solve — the literal
     BASELINE config-5 composition (reference: src/Maxwell.cpp fed into
@@ -189,10 +224,29 @@ def ams_async_additive_solve(
         group k+1: c = G · add_corr_k(G^T r)   (node level k, prolongated
                                                 through the gradient)
 
-    This mode trades convergence rate for asynchrony exactly as the
-    reference's async additive does (rate ~0.97/cycle here vs the
-    PCG-wrapped AMS's ~0.5); solve_ams_pcg / solve_sharded_ams_pcg are
-    the production Maxwell routes. One jitted lax.while_loop.
+    Convergence (n=8 mesh, fire=0.8, delay=2, measured): the round-4
+    two-space variant contracted at 0.9885/cycle; the full Hiptmair-Xu
+    decomposition (Pi groups) with smoothed aux transfers and the
+    auto-estimated omega contracts at 0.931/cycle and reaches 1e-8.
+
+    accel="cheby" activates the reference's asymmetric async Chebyshev
+    (DMEM_ChebyUpdate, src/DMEM_Misc.cpp:612-666): per-group 3-term
+    recurrences at each group's own firing rate, omega_k*delta-scaled
+    corrections, and the cheby_grid group's (omega_k-1)*d momentum with d
+    accumulating every applied correction (src/DMEM_Add.cpp:511-517).
+    mu/delta are estimated from the synchronous additive AMS operator
+    (the ChebySetup analog) unless cheby_coeffs is given; delta is damped
+    cheby_damp-x and the recurrence restarts every cheby_restart group-
+    cycles. MEASURED LIMIT: in the synchronous limit (fire=1, delay=0)
+    the accelerated iteration hits the Chebyshev-optimal rate (0.79 =
+    (sqrt(k)-1)/(sqrt(k)+1) on the kappa~99 two-space operator, 64 vs
+    961 scalar cycles), but under ANY bounded staleness the momentum
+    term amplifies stale error on spectra wider than kappa ~ 10 and the
+    iteration diverges — accel therefore defaults OFF here (it wins on
+    the narrow-spectrum multadd configs, solve/async_sim.py), and the
+    async-AMS route to speed is conditioning (the Pi space), not
+    momentum. solve_ams_pcg / solve_sharded_ams_pcg remain the
+    production synchronous Maxwell routes. One jitted lax.while_loop.
     """
     import jax
 
@@ -204,57 +258,149 @@ def ams_async_additive_solve(
     if key is None:
         key = jax.random.PRNGKey(0)
     nh = ams.node_hier
-    Lg = 1 + nh.num_levels  # correction groups
+    nL = nh.num_levels
+    pL = ams.pi_hier.num_levels if ams.pi_hier is not None else 0
+    # correction groups: edge smoother, node levels, Pi (vector-nodal)
+    # levels — each an independent async group, the Maxwell analog of the
+    # reference's per-level grid groups
+    Lg = 1 + nL + pL
     W = sim_read_delay + 1
     cfg_add = CycleConfig(
-        cycle=CycleType.MULTADD, smoother=SmootherType.L1_JACOBI
+        cycle=CycleType.MULTADD, smoother=SmootherType.L1_JACOBI,
+        use_smoothed_transfers=smoothed_transfers,
     )
+    accel_on = accel in ("cheby", "richardson")
+    cg = min(max(cheby_grid, 0), Lg - 1)
 
-    def group_correction(g, r):
+    def group_correction(ams_, g, r):
         if g == 0:
-            return ams.inv_wscale * r
-        rn = ams.Gt @ r
-        return ams.G @ additive_correction(nh, cfg_add, rn, g - 1)
+            return ams_.inv_wscale * r
+        if g <= nL:
+            rn = ams_.Gt @ r
+            return ams_.G @ additive_correction(
+                ams_.node_hier, cfg_add, rn, g - 1
+            )
+        rp = ams_.Pit @ r
+        return ams_.Pi @ additive_correction(
+            ams_.pi_hier, cfg_add, rp, g - 1 - nL
+        )
+
+    if cheby_coeffs is None and (accel_on or omega == "auto"):
+        from amg_tpu.solve.accel import estimate_cycle_eigs
+
+        def minv_a(op, u):
+            A_, ams_ = op
+            r = A_ @ u
+            c = jnp.zeros_like(u)
+            for g in range(Lg):
+                c = c + group_correction(ams_, g, r)
+            return c
+
+        cheby_coeffs = estimate_cycle_eigs(
+            minv_a, b.shape[0], b.dtype, num_iters=20,
+            operand=(A_dev, ams),
+        )
+    if omega == "auto":
+        # 0.7x the synchronous Richardson optimum of the group-sum
+        # operator, backed off for staleness (measured on the n=8 mesh,
+        # full AMS: 1.0x diverges under fire=0.8/delay=2, 0.7x contracts
+        # at 0.952/cycle — vs 0.9885 for the round-4 fixed omega=0.5
+        # two-space variant)
+        omega = float(0.7 * 2.0 / (cheby_coeffs.alpha + cheby_coeffs.beta))
+    mu = float(cheby_coeffs.mu) if accel_on else 2.0
+    delta = float(cheby_coeffs.delta) * cheby_damp if accel_on else 0.0
 
     def loop(A_, ams_, b_, x0_, key_):
+        dtype = b_.dtype
         r0n = jnp.linalg.norm(b_ - A_ @ x0_)
         safe = jnp.where(r0n == 0.0, 1.0, r0n)
         ring0 = jnp.tile(x0_[None, :], (W, 1))
-        hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=b_.dtype)
+        hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=dtype)
         hist0 = hist0.at[0].set(1.0)
+        mu_s = jnp.asarray(mu, dtype)
+        delta_s = jnp.asarray(delta, dtype)
 
         def body(st):
-            x, ring, k, rel, hist, kk = st
+            x, ring, k, rel, hist, kk, d_dir, cheb_c, cheb_cp, cyc = st
             kk, kf, kr = jax.random.split(kk, 3)
-            fire = jax.random.uniform(kf, (Lg,), b_.dtype) < fire_prob
+            fire = jax.random.uniform(kf, (Lg,), dtype) < fire_prob
             cols = jnp.round(
                 jnp.maximum(k - sim_read_delay, 0)
                 + jax.random.uniform(kr, (Lg,))
                 * (k - jnp.maximum(k - sim_read_delay, 0))
             ).astype(jnp.int32)
+            if accel_on:
+                c_next = 2.0 * mu_s * cheb_c - cheb_cp
+                if accel == "richardson":
+                    om = jnp.full(
+                        (Lg,),
+                        2.0 / (1.0 + (1.0 - 1.0 / (mu ** 2)) ** 0.5),
+                        dtype,
+                    )
+                else:
+                    om = 2.0 * mu_s * cheb_c / c_next
+                first_f = cyc == 0
+                g_scale = jnp.where(
+                    first_f, jnp.asarray(1.0, dtype), om * delta_s
+                )
+            else:
+                g_scale = jnp.full((Lg,), omega, dtype)
             c = jnp.zeros_like(x)
             for g in range(Lg):
                 x_stale = ring[cols[g] % W]
                 r_g = b_ - A_ @ x_stale
                 c = c + jnp.where(
-                    fire[g], group_correction(g, r_g), jnp.zeros_like(c)
+                    fire[g],
+                    g_scale[g] * group_correction(ams_, g, r_g),
+                    jnp.zeros_like(c),
                 )
-            x = x + omega * c
+            if accel_on:
+                mom = jnp.where(
+                    fire[cg] & ~first_f[cg], om[cg] - 1.0,
+                    jnp.asarray(0.0, dtype),
+                )
+                c = c + mom * d_dir
+                d_dir = jnp.where(fire[cg], c, d_dir + c)
+                adv = fire & ~first_f
+                cheb_cp = jnp.where(adv, cheb_c, cheb_cp)
+                cheb_c = jnp.where(adv, c_next, cheb_c)
+                cyc = cyc + fire.astype(jnp.int32)
+                if cheby_restart > 0:
+                    # RESTARTED async Chebyshev: bounded-staleness errors
+                    # are amplified ~T_k(mu) by the long recurrence (the
+                    # unrestarted form diverges under any staleness on
+                    # this kappa~100 operator — measured); restarting
+                    # every m of a group's own cycles caps the
+                    # amplification window while keeping most of the
+                    # m-step minimax gain ((2/T_m(mu))^(1/m) per cycle).
+                    wrap = cyc >= cheby_restart
+                    cyc = jnp.where(wrap, 0, cyc)
+                    cheb_c = jnp.where(wrap, mu_s, cheb_c)
+                    cheb_cp = jnp.where(wrap, jnp.asarray(1.0, dtype),
+                                        cheb_cp)
+            x = x + c
             r = b_ - A_ @ x
             rel = jnp.linalg.norm(r) / safe
             hist = hist.at[k + 1].set(rel)
             ring = ring.at[(k + 1) % W].set(x)
-            return (x, ring, k + 1, rel, hist, kk)
+            return (x, ring, k + 1, rel, hist, kk, d_dir, cheb_c, cheb_cp,
+                    cyc)
 
         def cond(st):
-            _, _, k, rel, _, _ = st
+            k, rel = st[2], st[3]
             return (k < max_cycles) & (rel > tol) & (rel < 1e3)
 
         st = (
             x0_, ring0, jnp.asarray(0, jnp.int32),
-            jnp.asarray(1.0, b_.dtype), hist0, key_,
+            jnp.asarray(1.0, dtype), hist0, key_,
+            jnp.zeros_like(x0_),
+            jnp.full((Lg,), mu_s, dtype),
+            jnp.ones(Lg, dtype),
+            jnp.zeros(Lg, jnp.int32),
         )
-        x, _, it, rel, hist, _ = jax.lax.while_loop(cond, body, st)
+        x, _, it, rel, hist, _, _, _, _, _ = jax.lax.while_loop(
+            cond, body, st
+        )
         return x, it, rel, hist
 
     x, it, rel, hist = jax.jit(loop)(A_dev, ams, b, x0, key)

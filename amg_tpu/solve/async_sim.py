@@ -68,14 +68,28 @@ class AsyncConfig:
     # src/SEQ_AMG.cpp:260,482,552). delay_levels/delay_prob are ignored in
     # this mode (the reference's sim path has no per-level delay knob).
     sim_grid_wait: int = 0
-    # Richardson under-relaxation applied to every applied correction: the
-    # async analog of the reference's outer Chebyshev/Richardson (the global
-    # 3-term recurrence is inconsistent with partial stale updates, so the
-    # reference keeps the recurrence on cheby_grid only and scales the other
-    # grids' corrections by omega*delta — reference: DMEM_ChebyUpdate,
-    # src/DMEM_Misc.cpp:612-666). omega = 2/(alpha+beta) from eig bounds of
-    # the synchronous additive operator, damped for staleness (see runner).
+    # Richardson under-relaxation applied to every applied correction — the
+    # scalar fallback acceleration. omega = 2/(alpha+beta) from eig bounds
+    # of the synchronous additive operator, damped for staleness (runner).
     omega: float = 1.0
+    # The reference's ASYMMETRIC async acceleration (DMEM_ChebyUpdate,
+    # src/DMEM_Misc.cpp:612-666 + the d += e receive path,
+    # src/DMEM_Add.cpp:511-517): accel="cheby"|"richardson" activates it.
+    # Each level group advances its OWN 3-term recurrence at its own firing
+    # rate (c_prev=1, c=mu seeds, omega_k = 2 mu T_k/T_{k+1}; richardson:
+    # constant omega = 2/(1+sqrt(1-mu^-2))); every group's correction is
+    # scaled by omega_k*delta (raw on its first fire — the reference's
+    # cycle-0 copy branch), and the cheby_grid level's group additionally
+    # carries the direction vector d: its applied correction gains the
+    # (omega_k - 1)*d momentum term, and d accumulates EVERY correction
+    # applied to x (own transform + received ones) — so d equals the total
+    # update since its last fire. mu/delta come from eig bounds of the
+    # synchronous additive operator (cheby_setup), exactly as the
+    # reference's ChebySetup power iteration (src/DMEM_Setup.cpp:1901-1914).
+    accel: str = "none"  # none | cheby | richardson
+    cheby_grid: int = 0  # level whose group keeps the 3-term direction
+    cheby_mu: float = 0.0
+    cheby_delta: float = 0.0
     # message coalescing: corrections are published to the SHARED state only
     # every comm_every supersteps; between publishes each level group
     # accumulates its corrections in a private pending buffer and sees them
@@ -195,10 +209,19 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         return stale, col
 
     E = max(int(acfg.comm_every), 1)
+    accel_on = acfg.accel in ("cheby", "richardson")
+    if accel_on:
+        assert E == 1, "async accel does not compose with comm coalescing"
+        assert acfg.cheby_mu > 1.0 and acfg.cheby_delta > 0.0, (
+            "accel needs cheby_mu/cheby_delta from cheby_setup eig bounds"
+        )
+    cg = min(max(acfg.cheby_grid, 0), L - 1)  # reference clamps cheby_grid
+    mu_s = jnp.asarray(acfg.cheby_mu if accel_on else 2.0, dtype)
+    delta_s = jnp.asarray(acfg.cheby_delta, dtype)
 
     def body(state):
         (x, ring, lr, gw, apply_marks, gcorrect, r_state, pending, waits, k,
-         relnorm, hist, key) = state
+         relnorm, hist, key, d_dir, cheb_c, cheb_cp, cyc) = state
         key, kf, kp, *kreads = jax.random.split(key, 3 + L)
         if acfg.sim_grid_wait > 0:
             # wait-counter firing: fire when the countdown hits zero, then
@@ -247,7 +270,36 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         # apply in random order (order only affects grid-wait accounting —
         # the sum itself commutes); reference shuffles level_perm
         perm = jax.random.permutation(kp, L)
-        if E > 1:
+        if accel_on:
+            # asymmetric async Chebyshev/Richardson (DMEM_ChebyUpdate,
+            # src/DMEM_Misc.cpp:612-666): per-level recurrence at the
+            # level's own firing rate; first fire applies raw (the cycle-0
+            # copy branch); cheby_grid's fire adds the (omega-1)*d momentum
+            # and d tracks the total applied update since its last fire
+            # (own transform + "received" others, src/DMEM_Add.cpp:511-517)
+            c_next = 2.0 * mu_s * cheb_c - cheb_cp
+            if acfg.accel == "richardson":
+                om = jnp.full(
+                    (L,),
+                    2.0 / (1.0 + (1.0 - 1.0 / (acfg.cheby_mu ** 2)) ** 0.5),
+                    dtype,
+                )
+            else:
+                om = 2.0 * mu_s * cheb_c / c_next
+            first_f = cyc == 0
+            lvl_scale = jnp.where(first_f, jnp.asarray(1.0, dtype), om * delta_s)
+            total_c = jnp.sum(corrections * lvl_scale[:, None], axis=0)
+            mom = jnp.where(
+                fire[cg] & ~first_f[cg], om[cg] - 1.0, jnp.asarray(0.0, dtype)
+            )
+            total_c = total_c + mom * d_dir
+            x = x + total_c
+            d_dir = jnp.where(fire[cg], total_c, d_dir + total_c)
+            adv = fire & ~first_f
+            cheb_cp = jnp.where(adv, cheb_c, cheb_cp)
+            cheb_c = jnp.where(adv, c_next, cheb_c)
+            cyc = cyc + fire.astype(jnp.int32)
+        elif E > 1:
             # accumulate into per-level pending buffers; publish into the
             # shared state every Eth superstep (message coalescing,
             # reference -async_comm_save_divisor: src/DMEM_Add.cpp:375-383)
@@ -296,7 +348,7 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         ring = ring.at[(k + 1) % W].set(snap)
         return (
             x, ring, new_lr, gw, apply_marks, gcorrect, r_maint, pending,
-            waits, k + 1, relnorm, hist, key,
+            waits, k + 1, relnorm, hist, key, d_dir, cheb_c, cheb_cp, cyc,
         )
 
     def cond(state):
@@ -318,10 +370,13 @@ def _async_loop(hier, cfg, acfg, b, x0, key, tol, max_cycles):
         x0, hist_ring, last_read, gw0, jnp.zeros(L, jnp.int32),
         global_correct0, r0, jnp.zeros((L, n), dtype), waits0,
         jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype), hist0, key,
+        jnp.zeros(n, dtype),  # cheby direction d (accel mode)
+        jnp.full((L,), mu_s, dtype),  # c seeds T_1 = mu (ChebySetup)
+        jnp.ones(L, dtype),  # c_prev seeds T_0 = 1
+        jnp.zeros(L, jnp.int32),  # per-level cycle counts
     )
-    x, _, _, gw, _, _, _, _, _, it, relnorm, hist, _ = jax.lax.while_loop(
-        cond, body, state
-    )
+    (x, _, _, gw, _, _, _, _, _, it, relnorm, hist, _,
+     _, _, _, _) = jax.lax.while_loop(cond, body, state)
     return AsyncResult(
         x=x, iters=it, rel_resnorm=relnorm, history=hist, grid_wait=gw
     )

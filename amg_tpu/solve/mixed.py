@@ -54,7 +54,19 @@ def mixed_solve(
 
     hier32: hierarchy built with dtype=float32; A64: fine operator with
     f64 weights — used directly where f64 compiles (CPU), or converted to
-    the double-single compensated path on TPU (where f64 does not)."""
+    the double-single compensated path on TPU (where f64 does not).
+
+    ACCURACY SCOPE of the TPU path (_loop_ds): the operator there is the
+    SINGLE rounded-f32 fine operator A32 — residuals (and therefore the
+    reported rel_resnorm and the attainable accuracy) are measured with
+    respect to A32, not the exact A. The gap is the coefficient-rounding
+    term ||A - A32||·||x|| ≈ eps_f32 ≈ 6e-8 relative on well-scaled
+    operators and grows with conditioning. That is fine for this
+    function's role (V-cycle refinement past the f32 *vector* roundoff
+    floor, configs 1-3), but solves that need accuracy wrt the exact
+    operator below ~1e-7 must route through mixed_pcg with an
+    (A_hi, A_lo) double-single operator PAIR (the production config-4
+    path). Requesting tol < 1e-7 here on the DS path emits a warning."""
     import numpy as np
 
     b = jnp.asarray(b)
@@ -65,6 +77,16 @@ def mixed_solve(
         fn = jax.jit(_loop_f64, static_argnames=("cfg", "tol", "max_cycles"))
         return fn(hier32, A64, cfg, b, x0, tol, max_cycles)
     # TPU: double-single state + compensated residual (ops/ds.py)
+    if tol < 1e-7:
+        import warnings
+
+        warnings.warn(
+            "mixed_solve's TPU path measures residuals against the single "
+            f"rounded-f32 operator; tol={tol:g} is below the "
+            "coefficient-rounding floor (~1e-7 relative). Use mixed_pcg "
+            "with an (A_hi, A_lo) operator pair for true-operator accuracy.",
+            stacklevel=2,
+        )
     b64 = np.asarray(b, dtype=np.float64)
     b_hi = b64.astype(np.float32)
     b_lo = (b64 - b_hi).astype(np.float32)

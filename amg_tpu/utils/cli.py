@@ -79,6 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-simple_jacobi", action="store_true")
     a("-multiple_interpolants", dest="one_interpolant", action="store_false")
     a("-accel", default=d.accel, choices=("none", "cheby", "richardson"))
+    a("-cheby_grid", type=int, default=d.cheby_grid)
     a("-outer_solver", default=d.outer_solver,
       choices=("none", "pcg", "ams_pcg"))
     a("-setup_type", default=d.setup_type,

@@ -123,6 +123,10 @@ class SolverOptions:
     accel: str = "none"  # none | cheby | richardson
     outer_solver: str = "none"  # none | pcg | ams_pcg
     cheby_power_iters: int = 20
+    # async asymmetric acceleration: the level whose grid group keeps the
+    # 3-term direction vector d (reference -cheby_grid,
+    # src/DMEM_Main.cpp:705-707; clamped to num_levels-1)
+    cheby_grid: int = 0
     # eig-bound estimator (reference -cheby_eig {power, hypre_lobpcg, slepc},
     # src/SMEM_Main.cpp:606-618); "lanczos" is the Krylov analog of the
     # reference's SLEPc Arnoldi path

@@ -455,17 +455,46 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
         gw = None
     elif opts.is_async():
         omega = 1.0
+        accel_kw = {}
         if opts.accel in ("richardson", "cheby"):
-            # Richardson weight from eig bounds of the SYNC additive operator,
-            # damped for staleness. Measured on 5pt/32 multadd (per-row
-            # staleness, delay=4, fire_prob=0.5): 0.5x the synchronous optimum
-            # gives rho 0.87 where the undamped optimum diverges past 0.95 —
-            # stale per-row reads raise the effective operator norm, so the
-            # weight must back off, exactly as the reference damps its async
-            # grids' corrections by omega*delta (src/DMEM_Misc.cpp:612-666)
+            # the reference's ASYMMETRIC async acceleration (round 5;
+            # DMEM_ChebyUpdate src/DMEM_Misc.cpp:612-666): each level group
+            # advances its own 3-term recurrence at its own firing rate,
+            # corrections scale by omega_k*delta, and the cheby_grid group
+            # carries the (omega_k - 1)*d momentum. mu/delta come from eig
+            # bounds of the SYNC additive operator (ChebySetup analog).
+            # delta is damped 0.5x under per-row (FULL) staleness: stale
+            # per-row reads raise the effective operator norm (measured on
+            # 27pt/12 multadd, delay=4 fire=0.5: undamped diverges to 9e-3
+            # at 900 steps, 0.5x converges in 140 — vs 178 for the round-4
+            # scalar approximation; SEMI staleness needs no damping: 66 vs
+            # 193). The coalescing path (comm_every>1) keeps the round-4
+            # scalar-omega approximation — the momentum term does not
+            # compose with pending-buffer publishes.
             coeffs = cheby_setup(hier, cfg, num_iters=opts.cheby_power_iters,
                                  method=opts.cheby_eig)
-            omega = 0.5 * 2.0 / (coeffs.alpha + coeffs.beta)
+            if (
+                max(opts.async_comm_save_divisor, 1) > 1
+                or opts.converge_test_type == "local"
+            ):
+                # scalar fallback (local convergence freezes groups
+                # mid-recurrence; coalescing batches publishes)
+                omega = 0.5 * 2.0 / (coeffs.alpha + coeffs.beta)
+            else:
+                # measured on 27pt/12 + 5pt/32 smoothed-transfer multadd
+                # (fire=0.5): FULL per-row staleness wants 0.35-0.4x delta
+                # (122 -> 104-108 cycles vs the scalar baseline at
+                # delay=4), SEMI per-level 0.6x (69 -> 63 at delay=2);
+                # undamped diverges under either
+                damp = 0.4 if opts.async_type == "full" else 0.6
+                if opts.sim_read_delay == 0:
+                    damp = 1.0  # no staleness: the recurrence is exact
+                accel_kw = dict(
+                    accel=opts.accel,
+                    cheby_grid=opts.cheby_grid,
+                    cheby_mu=coeffs.mu,
+                    cheby_delta=coeffs.delta * damp,
+                )
         # resolve the reference's delay-selection policies against the
         # built hierarchy's level count (reference: -delay_one delays thread
         # num_threads-1, -delay_some a random fraction, -delay_all everyone;
@@ -504,6 +533,7 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             omega=omega,
             comm_every=max(opts.async_comm_save_divisor, 1),
             converge_test_type=opts.converge_test_type,
+            **accel_kw,
         )
         if grid_mesh is not None:
             # level→device-group parallelism (only built on the unstructured
@@ -600,7 +630,10 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             from amg_tpu.setup.hierarchy import _format_converter
             from amg_tpu.solve.ams import build_ams, solve_ams_pcg
 
-            ams, node_cfg = build_ams(prob.A, prob.aux["G"], params=None)
+            ams, node_cfg = build_ams(
+                prob.A, prob.aux["G"], params=None,
+                Pi=(prob.aux or {}).get("Pi"),
+            )
             A_dev = _format_converter(params)(prob.A, params.dtype)
             res = solve_ams_pcg(
                 A_dev, ams, node_cfg, b, x0, tol=opts.tol,

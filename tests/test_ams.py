@@ -161,16 +161,18 @@ class TestShardedAMS:
 
 class TestAsyncAdditiveAMS:
     """The literal config-5 composition: async additive auxiliary-space
-    Maxwell (edge-smoother + node-level groups firing independently
-    against bounded-staleness iterates; reference src/Maxwell.cpp +
-    src/DMEM_Add.cpp). Slow by design — the production Maxwell route is
-    AMS-PCG; this pins the async semantics."""
+    Maxwell (edge-smoother + node-level + Pi-level groups firing
+    independently against bounded-staleness iterates; reference
+    src/Maxwell.cpp + src/DMEM_Add.cpp). Round-5: the full Hiptmair-Xu
+    decomposition (Pi space) + auto-omega takes the contraction from
+    0.9885/cycle (round-4 two-space, tested only to 1e-4) to ~0.93 —
+    tested to 1e-6 with a rate assertion."""
 
-    def _setup(self):
-        from amg_tpu.solve.ams import ams_async_additive_solve
-
+    def _setup(self, with_pi=True):
         p = maxwell_curlcurl(n=8, sigma=1.0)
-        ams, _ = build_ams(p.A, p.aux["G"])
+        ams, _ = build_ams(
+            p.A, p.aux["G"], Pi=p.aux["Pi"] if with_pi else None
+        )
         A = _format_converter(HierarchyParams())(p.A, jnp.float64)
         return p, ams, A, jnp.asarray(p.rhs)
 
@@ -178,24 +180,80 @@ class TestAsyncAdditiveAMS:
         from amg_tpu.solve.ams import ams_async_additive_solve
 
         p, ams, A, b = self._setup()
-        # omega 0.7 is stable (and faster) WITHOUT staleness; the damped
-        # default exists for stale reads
         res = ams_async_additive_solve(
-            A, ams, b, omega=0.7, sim_read_delay=0, tol=1e-4,
-            max_cycles=800,
+            A, ams, b, sim_read_delay=0, tol=1e-6, max_cycles=800,
         )
-        assert float(res.rel_resnorm) <= 1e-4
+        assert float(res.rel_resnorm) <= 1e-6
         r = np.asarray(b) - p.A.to_scipy() @ np.asarray(res.x)
-        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 2e-4
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 2e-6
 
-    def test_bounded_staleness_converges(self):
-        """Async reads up to 2 supersteps stale still converge at the
-        damped default (omega=0.5; 0.7 diverges at this staleness — the
-        rate/asynchrony tradeoff the reference's experiments study)."""
+    def test_bounded_staleness_converges_1e6(self):
+        """Async reads up to 2 supersteps stale, full-AMS groups,
+        auto-omega: contraction well below the round-4 0.97 — asserted
+        <= 0.95/cycle asymptotically — and tolerance 1e-6 reached."""
         from amg_tpu.solve.ams import ams_async_additive_solve
 
         p, ams, A, b = self._setup()
         res = ams_async_additive_solve(
-            A, ams, b, sim_read_delay=2, tol=1e-4, max_cycles=1200,
+            A, ams, b, sim_read_delay=2, tol=1e-6, max_cycles=600,
         )
-        assert float(res.rel_resnorm) <= 1e-4
+        assert float(res.rel_resnorm) <= 1e-6
+        h = np.asarray(res.history)
+        h = h[~np.isnan(h)]
+        rate = (h[-1] / h[10]) ** (1.0 / (len(h) - 11))
+        assert rate <= 0.95
+        r = np.asarray(b) - p.A.to_scipy() @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 2e-6
+
+    def test_pi_space_required_for_rate(self):
+        """Without the Pi groups the additive operator's smallest
+        eigenvalue collapses (kappa ~46 vs ~2 ideal) and the async solve
+        contracts at >= 0.97 — the round-4 behavior, kept as a negative
+        control."""
+        from amg_tpu.solve.ams import ams_async_additive_solve
+
+        p, ams, A, b = self._setup(with_pi=False)
+        res = ams_async_additive_solve(
+            A, ams, b, sim_read_delay=2, tol=1e-6, max_cycles=200,
+        )
+        h = np.asarray(res.history)
+        h = h[~np.isnan(h)]
+        rate = (h[-1] / h[10]) ** (1.0 / (len(h) - 11))
+        assert rate >= 0.95  # structurally slow without Pi
+
+
+class TestPiInterpolation:
+    """Nedelec nodal interpolation Pi (the second AMS auxiliary space,
+    problems/maxwell.py aux['Pi']; hypre AMS's Pi operator analog)."""
+
+    def test_pi_reproduces_constant_fields(self):
+        """Pi maps a constant vector field to its exact edge dofs: the
+        d-aligned unit field gives tangential value 1 on every d-edge and
+        0 on others (the partition-of-unity property the HX decomposition
+        needs). Checked away from the PEC boundary where the constrained
+        nodal dofs truncate the stencil."""
+        p = maxwell_curlcurl(n=6)
+        Pi = p.aux["Pi"].to_scipy().tocsr()
+        G = p.aux["G"].to_scipy().tocsr()
+        n_e = Pi.shape[0]
+        # interior edges (full 2-node support): both endpoint dofs kept ->
+        # row sum of Pi over the x-block is 1 for x-edges with both
+        # endpoints interior; use rows with exactly 2 nonzeros
+        nnz_per_row = np.diff(Pi.indptr)
+        full = nnz_per_row == 2
+        assert full.sum() > 0
+        rowsum = np.asarray(Pi.sum(axis=1)).ravel()
+        np.testing.assert_allclose(rowsum[full], 1.0)
+
+    def test_pi_improves_pcg(self):
+        """Full HX decomposition must not be slower than the two-space
+        variant under PCG (measured 26 vs 29 at n=8)."""
+        p = maxwell_curlcurl(n=8)
+        A = _format_converter(HierarchyParams())(p.A, jnp.float64)
+        b = jnp.asarray(p.rhs)
+        ams2, cfg2 = build_ams(p.A, p.aux["G"])
+        ams3, cfg3 = build_ams(p.A, p.aux["G"], Pi=p.aux["Pi"])
+        r2 = solve_ams_pcg(A, ams2, cfg2, b, tol=1e-8)
+        r3 = solve_ams_pcg(A, ams3, cfg3, b, tol=1e-8)
+        assert float(r3.rel_resnorm) <= 1e-8
+        assert int(r3.iters) <= int(r2.iters)

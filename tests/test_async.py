@@ -321,3 +321,81 @@ class TestSimGridWait:
         # every level fires roughly every 3 supersteps (period 1 + 4/2)
         period = 300.0 / counts
         assert np.all(period > 2.0) and np.all(period < 4.5)
+
+
+class TestAsyncAsymmetricAccel:
+    """Round-5: the reference's asymmetric async Chebyshev/Richardson
+    (DMEM_ChebyUpdate, src/DMEM_Misc.cpp:612-666) replacing the round-4
+    scalar-omega approximation."""
+
+    def _coeffs(self, hier, cfg):
+        from amg_tpu.solve.driver import cheby_setup
+
+        return cheby_setup(hier, cfg, num_iters=20)
+
+    def test_sync_limit_equals_sync_cheby(self, setup32):
+        """With fire=1 and zero staleness the asymmetric recurrence must
+        reproduce the synchronous Chebyshev solve trajectory exactly (the
+        reference's async path degenerates to its sync path when no
+        message is ever late)."""
+        from amg_tpu.solve import solve
+
+        prob, hh, hier, b, params = setup32
+        cfg = multadd_cfg()
+        coeffs = self._coeffs(hier, cfg)
+        res_sync = solve(
+            hier, cfg, b, tol=1e-8, max_cycles=200, accel="cheby",
+            cheby_coeffs=coeffs,
+        )
+        acfg = AsyncConfig(
+            sim_read_delay=0, fire_prob=1.01, accel="cheby",
+            cheby_mu=coeffs.mu, cheby_delta=coeffs.delta,
+        )
+        res_async = async_solve(hier, cfg, acfg, b, tol=1e-8, max_cycles=200)
+        assert int(res_sync.iters) == int(res_async.iters)
+        h1 = np.asarray(res_sync.history)
+        h2 = np.asarray(res_async.history)
+        m = ~np.isnan(h1)
+        # identical algebra, different floating summation order (the sync
+        # path folds the momentum through cheby_update's d, the async path
+        # through total_c): trajectories agree to accumulated roundoff
+        np.testing.assert_allclose(h1[m], h2[m], rtol=1e-6)
+
+    def test_accel_beats_scalar_omega(self, setup32):
+        """The asymmetric accel converges measurably faster than the
+        round-4 scalar under-relaxation at the same staleness (SEMI
+        per-level staleness — the DMEM comm model)."""
+        prob, hh, hier, b, params = setup32
+        cfg = multadd_cfg()
+        coeffs = self._coeffs(hier, cfg)
+        omega = 0.5 * 2.0 / (coeffs.alpha + coeffs.beta)
+        key = jax.random.PRNGKey(0)
+        base = dict(async_type="semi", sim_read_delay=2, fire_prob=0.5)
+        r_scalar = async_solve(
+            hier, cfg, AsyncConfig(omega=omega, **base), b, key=key,
+            tol=1e-8, max_cycles=600,
+        )
+        r_accel = async_solve(
+            hier, cfg,
+            AsyncConfig(
+                accel="cheby", cheby_mu=coeffs.mu,
+                cheby_delta=coeffs.delta * 0.6, **base,
+            ),
+            b, key=key, tol=1e-8, max_cycles=600,
+        )
+        assert float(r_accel.rel_resnorm) <= 1e-8
+        assert int(r_accel.iters) < int(r_scalar.iters)
+
+    def test_richardson_accel_converges(self, setup32):
+        prob, hh, hier, b, params = setup32
+        cfg = multadd_cfg()
+        coeffs = self._coeffs(hier, cfg)
+        acfg = AsyncConfig(
+            async_type="semi", sim_read_delay=2, fire_prob=0.5,
+            accel="richardson", cheby_mu=coeffs.mu,
+            cheby_delta=coeffs.delta * 0.6,
+        )
+        res = async_solve(hier, cfg, acfg, b, tol=1e-8, max_cycles=600)
+        assert float(res.rel_resnorm) <= 1e-8
+        r = np.asarray(b) - prob.A @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1.1e-8

@@ -374,3 +374,63 @@ class TestOwnedStorage:
                 c_new = additive_correction(hv, CFG, r, lvl)
                 c_old = additive_correction(hier, CFG, r, lvl)
                 assert bool(jnp.array_equal(c_new, c_old)), (d, lvl)
+
+
+class TestGridAsymmetricAccel:
+    """Round-5: the asymmetric async Chebyshev (DMEM_ChebyUpdate analog)
+    runs identically through the grid-parallel engine — the recurrence
+    state is replicated scalars and the momentum term rides outside the
+    psum, so acceleration costs no extra communication."""
+
+    def test_accel_matches_async_sim(self, setup32):
+        from amg_tpu.solve.driver import cheby_setup
+
+        prob, hh, hier, b = setup32
+        coeffs = cheby_setup(hier, CFG, num_iters=20)
+        acfg = AsyncConfig(
+            fire_prob=0.5, sim_read_delay=2, async_type="semi",
+            accel="cheby", cheby_mu=coeffs.mu,
+            cheby_delta=coeffs.delta * 0.6,
+        )
+        key = jax.random.PRNGKey(3)
+        ref = async_solve(
+            hier, CFG, acfg, b, key=key, tol=1e-8, max_cycles=400
+        )
+        mesh = make_row_mesh(8)
+        _, levels_of, scale = plan_grid_levels(hh, 8)
+        res = grid_parallel_solve(
+            hier, CFG, acfg, levels_of, scale, mesh, b, key=key,
+            tol=1e-8, max_cycles=400,
+        )
+        assert int(res.iters) == int(ref.iters)
+        assert float(res.rel_resnorm) <= 1e-8
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.asarray(ref.x), atol=1e-10
+        )
+
+    def test_accel_beats_scalar(self, setup32):
+        from amg_tpu.solve.driver import cheby_setup
+
+        prob, hh, hier, b = setup32
+        coeffs = cheby_setup(hier, CFG, num_iters=20)
+        key = jax.random.PRNGKey(3)
+        mesh = make_row_mesh(8)
+        _, levels_of, scale = plan_grid_levels(hh, 8)
+        base = dict(fire_prob=0.5, sim_read_delay=2, async_type="semi")
+        r_scalar = grid_parallel_solve(
+            hier, CFG,
+            AsyncConfig(
+                omega=0.5 * 2.0 / (coeffs.alpha + coeffs.beta), **base
+            ),
+            levels_of, scale, mesh, b, key=key, tol=1e-8, max_cycles=600,
+        )
+        r_accel = grid_parallel_solve(
+            hier, CFG,
+            AsyncConfig(
+                accel="cheby", cheby_mu=coeffs.mu,
+                cheby_delta=coeffs.delta * 0.6, **base,
+            ),
+            levels_of, scale, mesh, b, key=key, tol=1e-8, max_cycles=600,
+        )
+        assert float(r_accel.rel_resnorm) <= 1e-8
+        assert int(r_accel.iters) < int(r_scalar.iters)
