@@ -137,32 +137,23 @@ def main():
     # line as the headline) ------------------------------------------------
     single_ratio = pair_ratio = None
     if on_tpu:
-        single_ratio = aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s)
-        if single_ratio is not None and single_ratio < 0.45:
-            # the single sweep is the shortest launch (~330 us device) and
-            # the most host-feed-bound on the relay (~850 us/enqueue when
-            # the tunnel is slow): one retry before flooring
-            single_ratio = (
-                aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s)
-                or single_ratio
-            )
+        single_ratio = aux_single_sweep(
+            sweep1, up, nnz, roofline_nnz_per_s, smoke
+        )
         pair_ratio = aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s)
-        if pair_ratio is not None and pair_ratio < 0.8:
-            pair_ratio = (
-                aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s)
-                or pair_ratio
-            )
-    aux_vcycle(smoke, dtype)
-    aux_bsr(smoke, dtype)
-    aux_file_bsr(smoke, dtype)
-    aux_dia_elasticity(smoke, dtype)
-    aux_dia_large(smoke, dtype)
+    recs = {}
+    recs.update(aux_vcycle(smoke, dtype) or {})
+    recs.update(aux_bsr(smoke, dtype) or {})
+    recs.update(aux_file_bsr(smoke, dtype) or {})
+    recs.update(aux_dia_elasticity(smoke, dtype) or {})
+    recs.update(aux_dia_large(smoke, dtype) or {})
 
     headline_ratio = nnz_per_s / roofline_nnz_per_s
-    # vs_baseline FLOORS (round-3 verdict weak item 4): a silent kernel
-    # regression must fail loudly. Floors sit below the documented
-    # run-to-run variance band of the relay backend (headline 1.44-1.54x,
-    # single 0.66-0.95x, pair 0.98-1.85x measured across rounds).
+    # FLOORS UNDER EVERY METRIC (round-4 verdict item 4: the BSR rate
+    # slid 21% across three rounds while only the structured metrics were
+    # gated). Rate floors sit below the documented run-to-run variance
+    # band of the relay backend; time metrics gate on CEILINGS tied to
+    # their own traffic bounds. Any breach exits rc=2.
     violations = []
     if on_tpu and not smoke:
         if headline_ratio < 1.1:
@@ -175,6 +166,37 @@ def main():
             violations.append(f"single_sweep {single_ratio:.3f} < floor 0.33")
         if pair_ratio is not None and pair_ratio < 0.8:
             violations.append(f"fused_pair {pair_ratio:.3f} < floor 0.8")
+        # rate floors: metric value must be >= floor (variance band below
+        # the round-5 measured values; bsr floor restores the r02 level)
+        rate_floors = {
+            "bsr_spmv_nnz_per_s": 10.5e9,  # r02 recorded 11.84e9
+            "file_bsr_spmv_nnz_per_s": 13.0e9,  # r04 15.5e9
+            "dia_spmv_frac": 0.70,  # fraction of stream bound (r04 0.85)
+            "dia_sweep_frac": 0.70,  # r04 0.81
+            "dia_spmv_frac_362k": 0.75,  # r04 0.89
+            "dia_sweep_frac_362k": 0.75,  # r04 0.91
+        }
+        for k, floor in rate_floors.items():
+            v = recs.get(k)
+            if v is not None and v < floor:
+                violations.append(f"{k} {v:.3g} < floor {floor:g}")
+        # time ceilings: metric must not exceed ceiling (value in the recs
+        # is seconds or ms as named)
+        time_ceilings = {
+            # elasticity mixed solve: warm best-of-3 runs 0.125-0.144 s
+            # (measured round 5); 0.25 flags a 2x regression while
+            # absorbing relay jitter
+            "elasticity_mixed_solve_s": 0.25,
+            # elasticity V(2,2) JGS cycle at 157k: r05 measured value +
+            # variance band (gated against its own traffic bound too)
+            "elasticity_vcycle_ms": 2.6,
+            # flagship V-cycle: must stay within 2x its HBM traffic bound
+            "vcycle_ms_over_bound": 2.0,
+        }
+        for k, ceil in time_ceilings.items():
+            v = recs.get(k)
+            if v is not None and v > ceil:
+                violations.append(f"{k} {v:.3g} > ceiling {ceil:g}")
     if violations:
         print(json.dumps({"metric": "floor_violations", "items": violations}))
     print(
@@ -193,9 +215,19 @@ def main():
         sys.exit(2)
 
 
-def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s):
+def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s, smoke=False):
     """Standalone single-sweep rate (the round-1 headline, for comparison
-    against the fused-pair production number)."""
+    against the fused-pair production number).
+
+    Round-5 (verdict item 7): the retry is SYMMETRIC — the measurement
+    always runs twice and takes the min, never re-rolling only when the
+    number is low — and the host-feed hypothesis is MEASURED:
+    `device_frac` compares the per-launch chained rate against the same
+    sweep chained inside one jitted fori_loop (a single launch, so pure
+    device time per iteration). device_frac ~= chained/device-only rate;
+    a low vs_baseline with device_frac near the chained ratio means the
+    kernel itself is slow; a high device-only ratio with low chained
+    ratio pins the gap on per-launch relay enqueue cost."""
     import jax
 
     try:
@@ -217,9 +249,27 @@ def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s):
             t1 = min(chained(301) for _ in range(2))
             return max((t1 - t0) / 250, 1e-12)
 
-        per = measure()
-        if (nnz / per) / roofline_nnz_per_s > 1.02:
-            per = measure()  # an unfused sweep cannot beat its roofline
+        per = min(measure(), measure())  # symmetric: always two samples
+
+        # device-only per-sweep cost: the same kernel iterated inside ONE
+        # jitted fori_loop — no per-launch enqueue in the marginal
+        loop = jax.jit(
+            lambda u, k: jax.lax.fori_loop(0, k, lambda _, v: sweep1(v), u),
+            static_argnames=("k",),
+        )
+        k0, k1 = (2, 12) if smoke else (50, 300)
+
+        def dev(k):
+            t0 = time.perf_counter()
+            float(jnp.sum(loop(up, k)))
+            return time.perf_counter() - t0
+
+        dev(k0), dev(k1)  # compile both
+        da = min(dev(k0) for _ in range(2))
+        db = min(dev(k1) for _ in range(2))
+        per_dev = max((db - da) / (k1 - k0), 1e-12)
+        dev_ratio = (nnz / per_dev) / roofline_nnz_per_s
+
         ratio = (nnz / per) / roofline_nnz_per_s
         print(json.dumps({
             "metric": "single_sweep_nnz_per_s",
@@ -227,6 +277,8 @@ def aux_single_sweep(sweep1, up, nnz, roofline_nnz_per_s):
             "unit": "nnz/s",
             "vs_baseline": ratio,
             "plausible": bool(ratio <= 1.02),
+            "device_only_vs_baseline": dev_ratio,
+            "device_frac": per_dev / per,
         }))
         return ratio
     except Exception as e:
@@ -255,9 +307,12 @@ def aux_fused_pair(sweep2, up, nnz, roofline_nnz_per_s):
             float(jnp.sum(zz))  # materialize (relay sync)
             return time.perf_counter() - t0
 
-        t0 = min(chained(51) for _ in range(2))
-        t1 = min(chained(301) for _ in range(2))
-        per = max((t1 - t0) / 250 / 2, 1e-12)
+        def measure():
+            t0 = min(chained(51) for _ in range(2))
+            t1 = min(chained(301) for _ in range(2))
+            return max((t1 - t0) / 250 / 2, 1e-12)
+
+        per = min(measure(), measure())  # symmetric: always two samples
         ratio = (nnz / per) / roofline_nnz_per_s
         print(json.dumps({
             "metric": "fused_pair_nnz_per_s",
@@ -381,8 +436,10 @@ def aux_vcycle(smoke, dtype):
             # dofs) by design; 1e-8 routes through solve.mixed
             "note": "f32 floor" if float(res.rel_resnorm) > 1e-5 else "",
         }))
+        return {"vcycle_ms_over_bound": value_ms / bound_ms}
     except Exception as e:  # aux metrics must never sink the headline
         print(json.dumps({"metric": "vcycle_ms", "error": str(e)[:200]}))
+        return {}
 
 
 def aux_bsr(smoke, dtype):
@@ -429,8 +486,10 @@ def aux_bsr(smoke, dtype):
             "unit": "nnz/s",
             "n": prob.n,
         }))
+        return {"bsr_spmv_nnz_per_s": prob.A.nnz / per}
     except Exception as e:
         print(json.dumps({"metric": "bsr_spmv_nnz_per_s", "error": str(e)[:200]}))
+        return {}
 
 
 def aux_dia_large(smoke, dtype):
@@ -439,7 +498,7 @@ def aux_dia_large(smoke, dtype):
     bench at the size the claim was made). Round-4 measurement: spmv 86%,
     fused sweep 89% of the padded coefficient-stream bound."""
     if smoke:
-        return
+        return {}
     import jax
     import jax.numpy as jnp
 
@@ -455,11 +514,12 @@ def aux_dia_large(smoke, dtype):
             op = DiaKernelOperator.try_from_var_stencil(vs) or vs
         else:
             op = vs
-        _dia_rates(prob, op, dtype, smoke, suffix="_362k")
+        return _dia_rates(prob, op, dtype, smoke, suffix="_362k")
     except Exception as e:
         print(json.dumps({
             "metric": "dia_spmv_nnz_per_s_362k", "error": str(e)[:200]
         }))
+        return {}
 
 
 def aux_file_bsr(smoke, dtype):
@@ -518,10 +578,12 @@ def aux_file_bsr(smoke, dtype):
             "n": prob.n,
             "tile": [bm, bn],
         }))
+        return {"file_bsr_spmv_nnz_per_s": prob.A.nnz / per}
     except Exception as e:
         print(json.dumps({
             "metric": "file_bsr_spmv_nnz_per_s", "error": str(e)[:200]
         }))
+        return {}
 
 
 def _dia_rates(prob, op, dtype, smoke, suffix=""):
@@ -548,6 +610,7 @@ def _dia_rates(prob, op, dtype, smoke, suffix=""):
         return y / jnp.linalg.norm(y)
 
     mv = jax.jit(lambda o, v: norm_last(o @ v))
+    recs = {}
     fns = [("dia_spmv_nnz_per_s" + suffix, mv)]
     if hasattr(op, "fused_jacobi_sweeps"):
         fns.append((
@@ -590,6 +653,11 @@ def _dia_rates(prob, op, dtype, smoke, suffix=""):
             "vs_baseline": bound_s / per,  # fraction of stream bound
             "plausible": bool(smoke or per >= 0.95 * bound_s),
         }))
+        frac_key = name.replace("dia_spmv_nnz_per_s", "dia_spmv_frac").replace(
+            "dia_sweep_nnz_per_s", "dia_sweep_frac"
+        )
+        recs[frac_key] = bound_s / per
+    return recs
 
 
 def aux_dia_elasticity(smoke, dtype):
@@ -624,7 +692,7 @@ def aux_dia_elasticity(smoke, dtype):
         else:
             op = vs
 
-        _dia_rates(prob, op, dtype, smoke)
+        recs = dict(_dia_rates(prob, op, dtype, smoke))
 
         # full solve through the all-DIA geometric hierarchy. Production
         # smoother: hybrid JGS (round 4 — fused residual kernel + MXU
@@ -666,13 +734,19 @@ def aux_dia_elasticity(smoke, dtype):
             res = mixed_pcg(hier, pair, cfg, b, tol=1e-5, max_cycles=60)
             # wall time of the COMPLETE production mixed-precision solve
             # (DS-PCG + refinement, warm caches — the end-to-end config-4
-            # number; per-cycle kernel costs are reported separately)
-            t0 = time.perf_counter()
-            res = mixed_pcg(hier, pair, cfg, b, tol=1e-5, max_cycles=60)
-            # materialize: the fused path is ONE async launch, so the
-            # timer must include the device work (relay sync caveat)
-            float(jnp.sum(res.x)) + float(res.rel_resnorm)
-            solve_s = time.perf_counter() - t0
+            # number; per-cycle kernel costs are reported separately).
+            # BEST OF 3 warm calls — the same re-measurement discipline as
+            # every kernel metric (round-4 verdict item 5: a single-shot
+            # timing published a 0.342 s relay outlier while warm calls
+            # measure 0.125-0.144 s; the docs' 0.13 s was correct)
+            solve_s = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = mixed_pcg(hier, pair, cfg, b, tol=1e-5, max_cycles=60)
+                # materialize: the fused path is ONE async launch, so the
+                # timer must include the device work (relay sync caveat)
+                float(jnp.sum(res.x)) + float(res.rel_resnorm)
+                solve_s = min(solve_s, time.perf_counter() - t0)
             print(json.dumps({
                 "metric": "elasticity_mixed_solve_s",
                 "value": solve_s,
@@ -680,7 +754,9 @@ def aux_dia_elasticity(smoke, dtype):
                 "cycles": int(res.iters),
                 "rel_res": float(res.rel_resnorm),
                 "n": prob.n,
+                "timing": "best-of-3 warm calls",
             }))
+            recs["elasticity_mixed_solve_s"] = solve_s
         else:
             res = solve(hier, cfg, b, tol=1e-5, max_cycles=40, outer="pcg")
         jax.block_until_ready(res.x)
@@ -708,18 +784,36 @@ def aux_dia_elasticity(smoke, dtype):
         ta = min(chain(k0) for _ in range(3))
         tb = min(chain(k1) for _ in range(3))
         per_cycle = max((tb - ta) / (k1 - k0), 1e-12)
+        # HBM traffic lower bound for one V(2,2) JGS cycle (round-4
+        # verdict item 4: the elasticity metrics carried no bound): the
+        # dominant stream is the padded DIA coefficient plane, read once
+        # per fine-level operator application — 4 smoothing sweeps + 1
+        # residual on the down leg + 1 residual equivalent in restrict =
+        # >= 5 coefficient passes (JGS's fused residual reads c_pad once
+        # per sweep; the block-triangular solves ride the MXU); coarse
+        # levels are <= 1/8 and ignored. A truthful UNDER-estimate.
+        c_bytes = (
+            op.c_pad.size if hasattr(op, "c_pad") else op.coeffs.size
+        ) * jnp.dtype(dtype).itemsize
+        bound_ms = 5 * c_bytes / 819e9 * 1e3
+        value_ms = per_cycle * 1e3
         print(json.dumps({
             "metric": "elasticity_vcycle_ms",
-            "value": per_cycle * 1e3,
+            "value": value_ms,
             "unit": "ms/cycle",
             "cycles": int(res.iters),
             "rel_res": float(res.rel_resnorm),
             "n": prob.n,
+            "traffic_bound_ms": bound_ms,
+            "plausible": bool(smoke or value_ms >= 0.8 * bound_ms),
         }))
+        recs["elasticity_vcycle_ms"] = value_ms
+        return recs
     except Exception as e:
         print(json.dumps({
             "metric": "dia_spmv_nnz_per_s", "error": str(e)[:200]
         }))
+        return {}
 
 
 if __name__ == "__main__":
