@@ -136,15 +136,14 @@ def _keep_fields(my_levels, L, cfg: CycleConfig):
     return keep
 
 
-def build_grid_owned_storage(hier, levels_of, cfg: CycleConfig):
-    """Device-major pooled operator storage for the grid-parallel solve.
-
-    Packs, per device, exactly the leaves its branch touches
-    (_keep_fields) into one flat buffer per dtype; rows are padded to the
-    max packed length and stacked into (D, Lmax) pools whose leading axis
-    is sharded over the mesh — so each device's operator allocation is
-    max_d(owned bytes) instead of the full hierarchy (the redistributed
-    gridk ownership of the reference, src/DMEM_Setup.cpp:216-334).
+def pack_device_pools(field_rows):
+    """Generic device-major pooled storage: field_rows[d] maps a field key
+    to the pytree device d owns. Packs each device's leaves into one flat
+    buffer per dtype; rows pad to the max packed length and stack into
+    (D, Lmax) pools whose leading axis shards over the mesh — per-device
+    allocation = max_d(owned bytes) instead of full replication (the
+    redistributed gridk ownership of the reference,
+    src/DMEM_Setup.cpp:216-334).
 
     Returns (pools, metas, owned_bytes): pools maps dtype-name to a
     (D, Lmax) jnp array; metas[d] maps field key -> (treedef, leaf specs)
@@ -152,28 +151,12 @@ def build_grid_owned_storage(hier, levels_of, cfg: CycleConfig):
     byte count (for memory-scaling assertions)."""
     from jax.tree_util import tree_flatten
 
-    L = hier.num_levels
-    D = len(levels_of)
+    D = len(field_rows)
     metas, rows = [], []
     for d in range(D):
-        keep = _keep_fields(levels_of[d], L, cfg)
-        if cfg.use_smoothed_transfers and cfg.cycle in (
-            CycleType.MULTADD, CycleType.BPX
-        ):
-            # the chain takes R_s/P_s wherever present; the raw fallback
-            # is only needed on levels without a smoothed transfer
-            for lvl, f in list(keep):
-                if f == "R" and getattr(hier.levels[lvl], "R_s", None) is not None:
-                    keep.discard((lvl, "R"))
-                if f == "P" and getattr(hier.levels[lvl], "P_s", None) is not None:
-                    keep.discard((lvl, "P"))
         offs, bufs, meta = {}, {}, {}
-        for key in sorted(keep, key=str):
-            if key == ("coarse", "Ainv"):
-                sub = hier.coarse_Ainv
-            else:
-                lvl, f = key
-                sub = getattr(hier.levels[lvl], f)
+        for key in sorted(field_rows[d], key=str):
+            sub = field_rows[d][key]
             if sub is None:
                 continue
             leaves, treedef = tree_flatten(sub)
@@ -205,23 +188,58 @@ def build_grid_owned_storage(hier, levels_of, cfg: CycleConfig):
     return pools, metas, owned_bytes
 
 
-def _reconstruct_view(L, meta, pool_row, A0):
-    """Rebuild one device's hierarchy view from its local pool row: kept
-    leaves are static slices of the row; dropped fields are None, so an
-    out-of-keep-set access is a loud tracing error rather than silently
+def pool_field(meta, pool_row, key):
+    """Rebuild one packed field from a device's local pool row (static
+    slices); returns None for fields outside the device's keep set, so an
+    out-of-set access is a loud tracing error rather than silently
     reading another device's data."""
     from jax.tree_util import tree_unflatten
 
+    if key not in meta:
+        return None
+    treedef, specs = meta[key]
+    leaves = [
+        pool_row[dt][off : off + int(np.prod(shape, dtype=np.int64))]
+        .reshape(shape)
+        for dt, off, shape in specs
+    ]
+    return tree_unflatten(treedef, leaves)
+
+
+def build_grid_owned_storage(hier, levels_of, cfg: CycleConfig):
+    """Hierarchy-specific owned storage: per device, exactly the leaves
+    its correction branch touches (_keep_fields). See pack_device_pools."""
+    L = hier.num_levels
+    field_rows = []
+    for d in range(len(levels_of)):
+        keep = _keep_fields(levels_of[d], L, cfg)
+        if cfg.use_smoothed_transfers and cfg.cycle in (
+            CycleType.MULTADD, CycleType.BPX
+        ):
+            # the chain takes R_s/P_s wherever present; the raw fallback
+            # is only needed on levels without a smoothed transfer
+            for lvl, f in list(keep):
+                if f == "R" and getattr(hier.levels[lvl], "R_s", None) is not None:
+                    keep.discard((lvl, "R"))
+                if f == "P" and getattr(hier.levels[lvl], "P_s", None) is not None:
+                    keep.discard((lvl, "P"))
+        row = {}
+        for key in keep:
+            if key == ("coarse", "Ainv"):
+                row[key] = hier.coarse_Ainv
+            else:
+                lvl, f = key
+                row[key] = getattr(hier.levels[lvl], f)
+        field_rows.append(row)
+    return pack_device_pools(field_rows)
+
+
+def _reconstruct_view(L, meta, pool_row, A0):
+    """Rebuild one device's hierarchy view from its local pool row (see
+    pool_field)."""
+
     def field(key):
-        if key not in meta:
-            return None
-        treedef, specs = meta[key]
-        leaves = [
-            pool_row[dt][off : off + int(np.prod(shape, dtype=np.int64))]
-            .reshape(shape)
-            for dt, off, shape in specs
-        ]
-        return tree_unflatten(treedef, leaves)
+        return pool_field(meta, pool_row, key)
 
     levels = []
     for lvl in range(L):

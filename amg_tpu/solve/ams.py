@@ -138,6 +138,7 @@ def build_sharded_ams(
     mesh,
     params: HierarchyParams | None = None,
     smoother_weight: float | None = None,
+    Pi: CSRMatrix | None = None,
 ) -> tuple:
     """Row-sharded AMS over a device mesh with halo-segment comm — the
     distributed Maxwell path (BASELINE config 5: Maxwell + multi-device +
@@ -182,6 +183,20 @@ def build_sharded_ams(
             ),
             1e-12,
         )
+    pi_kw = {}
+    if Pi is not None:
+        # second auxiliary space (full Hiptmair-Xu): Pi and its hierarchy
+        # shard exactly like G — HaloELL boundary-segment exchange only
+        Pis = Pi.to_scipy().tocsr()
+        A_p = CSRMatrix.from_scipy((Pis.T @ (As @ Pis)).tocsr())
+        hh_p = build_host_hierarchy(A_p, params)
+        pi_hier, pad_pi = build_dist_hierarchy(hh_p, params, mesh, comm="halo")
+        Pi_pad = _pad_csr(Pi, E_pad, pad_pi[1])
+        pi_kw = dict(
+            Pi=build_halo_ell(Pi_pad, mesh, dtype=params.dtype),
+            Pit=build_halo_ell(Pi_pad.transpose(), mesh, dtype=params.dtype),
+            pi_hier=pi_hier,
+        )
     data = AMSData(
         G=G_h,
         Gt=Gt_h,
@@ -189,6 +204,7 @@ def build_sharded_ams(
             jnp.asarray(smoother_weight / scale, dtype=params.dtype), mesh
         ),
         node_hier=node_hier,
+        **pi_kw,
     )
     cfg = CycleConfig(cycle=CycleType.MULT, smoother=params.smoother)
     return A_halo, data, cfg, (E, E_pad), pad_node
@@ -407,6 +423,308 @@ def ams_async_additive_solve(
     from amg_tpu.solve.driver import SolveResult
 
     return SolveResult(x=x, iters=it, rel_resnorm=rel, history=hist)
+
+
+def plan_ams_groups(ams: AMSData, num_devices: int):
+    """Work-model assignment of AMS correction groups to mesh devices
+    (the AssignProcs analog, src/DMEM_Setup.cpp:1638-1759): group work =
+    the rows its chain+smooth touches (edge smoother: n_edges; aux level
+    k: the transfer-chain and level sizes). Returns (groups_of, scale)
+    with scale[g] = 1/(devices sharing group g)."""
+    from amg_tpu.parallel.partition import assign_levels_to_devices
+
+    def level_work(hier):
+        out = []
+        for k in range(hier.num_levels):
+            w = 0.0
+            for j in range(k):
+                lv = hier.levels[j]
+                for f in ("R_s", "R", "P_s", "P"):
+                    op = getattr(lv, f, None)
+                    if op is not None and hasattr(op, "nnz"):
+                        w += op.nnz / 2.0  # one R + one P walk the chain
+                        break
+            A_k = hier.levels[k].A
+            w += getattr(A_k, "nnz", 0) or 0
+            out.append(max(w, 1.0))
+        return out
+
+    n_e = int(np.asarray(ams.inv_wscale).shape[0])
+    work = [float(n_e)] + level_work(ams.node_hier)
+    if ams.pi_hier is not None:
+        work += level_work(ams.pi_hier)
+    assignment = assign_levels_to_devices(np.asarray(work), num_devices)
+    Lg = len(work)
+    groups_of = [[] for _ in range(num_devices)]
+    scale = np.zeros(Lg)
+    for g, (s, e) in enumerate(assignment):
+        e = max(e, s + 1)
+        scale[g] = 1.0 / (e - s)
+        for d in range(s, min(e, num_devices)):
+            groups_of[d].append(g)
+    return tuple(tuple(gs) for gs in groups_of), scale
+
+
+def _ams_owned_rows(ams: AMSData, groups_of, cfg_add):
+    """Per-device field rows for pack_device_pools: exactly the operator
+    leaves each device's AMS groups touch (edge scale; G/Gt + node chain;
+    Pi/Pit + vector-nodal chain — every group owns its own copies, the
+    reference's redistributed gridk ownership)."""
+    nL = ams.node_hier.num_levels
+
+    def chain_fields(tag, hier, k, row):
+        for j in range(k):
+            lv = hier.levels[j]
+            if cfg_add.use_smoothed_transfers and lv.R_s is not None:
+                row[(tag, j, "R_s")] = lv.R_s
+            else:
+                row[(tag, j, "R")] = lv.R
+            if cfg_add.use_smoothed_transfers and lv.P_s is not None:
+                row[(tag, j, "P_s")] = lv.P_s
+            else:
+                row[(tag, j, "P")] = lv.P
+        if k == hier.num_levels - 1:
+            row[(tag, "coarse")] = hier.coarse_Ainv
+        else:
+            row[(tag, k, "A")] = hier.levels[k].A
+            row[(tag, k, "sm")] = hier.levels[k].sm
+
+    rows = []
+    for gs in groups_of:
+        row = {}
+        for g in gs:
+            if g == 0:
+                row[("edge", "inv_wscale")] = ams.inv_wscale
+            elif g <= nL:
+                row[("G",)] = ams.G
+                row[("Gt",)] = ams.Gt
+                chain_fields("n", ams.node_hier, g - 1, row)
+            else:
+                row[("Pi",)] = ams.Pi
+                row[("Pit",)] = ams.Pit
+                chain_fields("p", ams.pi_hier, g - 1 - nL, row)
+        rows.append(row)
+    return rows
+
+
+def ams_grid_parallel_solve(
+    A_dev,
+    ams: AMSData,
+    mesh,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    key=None,
+    omega="auto",
+    fire_prob: float = 0.8,
+    sim_read_delay: int = 2,
+    tol: float = 1e-6,
+    max_cycles: int = 600,
+    groups_of=None,
+    group_scale=None,
+    cheby_coeffs=None,
+    smoothed_transfers: bool = True,
+):
+    """Config-5 ASSEMBLED: the asynchronous additive Maxwell solve driven
+    through the grid-parallel engine over a device mesh — the reference's
+    exact composition (src/Maxwell.cpp:50-208 solved by the per-grid-group
+    async additive engine src/DMEM_Add.cpp:20-178 over the ACCUMULATE
+    channels of src/DMEM_Comm.cpp:81-348).
+
+    Each mesh device owns a subset of the AMS correction groups (edge
+    smoother / node levels / Pi levels, work-model assigned) with OWNED
+    operator storage — its pool shard carries only its groups' operators
+    (G/Gt or Pi/Pit plus its levels' chain, the redistributed gridk
+    ownership); only the fine edge operator rides replicated (every group
+    holds a fine copy in the reference's LOCAL_RES design,
+    src/DMEM_Add.cpp:530-556). Corrections exchange through ONE psum per
+    superstep (the ACCUMULATE channel on ICI) and termination is the
+    fused (norm-partial, done-flag) psum — InnerProdFlag
+    (src/DMEM_Misc.cpp:414-433). The PRNG stream mirrors
+    ams_async_additive_solve exactly, so this reproduces the
+    single-program async AMS iterates to roundoff (tested) while
+    distributing the group work."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from amg_tpu.parallel.grid import pack_device_pools, pool_field
+    from amg_tpu.solve.cycles import (
+        CycleConfig,
+        CycleType,
+        additive_correction,
+    )
+    from amg_tpu.smooth import SmootherType
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    axis = mesh.axis_names[0]
+    D = int(mesh.devices.size)
+    nh = ams.node_hier
+    nL = nh.num_levels
+    pL = ams.pi_hier.num_levels if ams.pi_hier is not None else 0
+    Lg = 1 + nL + pL
+    W = sim_read_delay + 1
+    n = b.shape[0]
+    dtype = b.dtype
+    cfg_add = CycleConfig(
+        cycle=CycleType.MULTADD, smoother=SmootherType.L1_JACOBI,
+        use_smoothed_transfers=smoothed_transfers,
+    )
+    if groups_of is None:
+        groups_of, group_scale = plan_ams_groups(ams, D)
+    assert len(groups_of) == D, "one group set per mesh device"
+    if group_scale is None:
+        group_scale = np.zeros(Lg)
+        for gs in groups_of:
+            for g in gs:
+                group_scale[g] += 1.0
+        group_scale = 1.0 / np.maximum(group_scale, 1.0)
+    gscale = jnp.asarray(group_scale, dtype)
+
+    if omega == "auto":
+        if cheby_coeffs is None:
+            from amg_tpu.solve.accel import estimate_cycle_eigs
+
+            def group_corr_host(ams_, g, r):
+                if g == 0:
+                    return ams_.inv_wscale * r
+                if g <= nL:
+                    return ams_.G @ additive_correction(
+                        ams_.node_hier, cfg_add, ams_.Gt @ r, g - 1
+                    )
+                return ams_.Pi @ additive_correction(
+                    ams_.pi_hier, cfg_add, ams_.Pit @ r, g - 1 - nL
+                )
+
+            def minv_a(op, u):
+                A_, ams_ = op
+                r = A_ @ u
+                c = jnp.zeros_like(u)
+                for g in range(Lg):
+                    c = c + group_corr_host(ams_, g, r)
+                return c
+
+            cheby_coeffs = estimate_cycle_eigs(
+                minv_a, n, dtype, num_iters=20, operand=(A_dev, ams)
+            )
+        omega = float(0.7 * 2.0 / (cheby_coeffs.alpha + cheby_coeffs.beta))
+
+    pools, metas, owned_bytes = pack_device_pools(
+        _ams_owned_rows(ams, groups_of, cfg_add)
+    )
+    n_pad = -(-n // D) * D
+
+    def hier_view(tag, meta, pool_row, L_sub):
+        from amg_tpu.setup.hierarchy import Hierarchy, Level
+
+        levels = []
+        for j in range(L_sub):
+            levels.append(Level(
+                A=pool_field(meta, pool_row, (tag, j, "A")),
+                sm=pool_field(meta, pool_row, (tag, j, "sm")),
+                P=pool_field(meta, pool_row, (tag, j, "P")),
+                R=pool_field(meta, pool_row, (tag, j, "R")),
+                P_s=pool_field(meta, pool_row, (tag, j, "P_s")),
+                R_s=pool_field(meta, pool_row, (tag, j, "R_s")),
+                R_inj=None,
+            ))
+        return Hierarchy(
+            levels=tuple(levels),
+            coarse_Ainv=pool_field(meta, pool_row, (tag, "coarse")),
+        )
+
+    def solve_body(A_, pools_, b_, x0_, key_):
+        d = jax.lax.axis_index(axis)
+        pool_row = {dt: pools_[dt][0] for dt in pools_}
+
+        def norm_partial(r):
+            r2 = jnp.pad(r * r, (0, n_pad - n)).reshape(D, n_pad // D)
+            return jax.lax.dynamic_slice_in_dim(r2, d, 1, 0).sum()
+
+        def group_correction(meta, g, r):
+            if g == 0:
+                return pool_field(meta, pool_row, ("edge", "inv_wscale")) * r
+            if g <= nL:
+                G = pool_field(meta, pool_row, ("G",))
+                Gt = pool_field(meta, pool_row, ("Gt",))
+                hv = hier_view("n", meta, pool_row, nL)
+                return G @ additive_correction(hv, cfg_add, Gt @ r, g - 1)
+            Pi = pool_field(meta, pool_row, ("Pi",))
+            Pit = pool_field(meta, pool_row, ("Pit",))
+            hv = hier_view("p", meta, pool_row, pL)
+            return Pi @ additive_correction(
+                hv, cfg_add, Pit @ r, g - 1 - nL
+            )
+
+        def make_branch(d_idx, gs):
+            def branch(op):
+                ring, cols, fire = op
+                c = jnp.zeros(n, dtype)
+                for g in gs:
+                    x_stale = ring[cols[g] % W]
+                    r_g = b_ - A_ @ x_stale
+                    cg_ = gscale[g] * group_correction(
+                        metas[d_idx], g, r_g
+                    )
+                    c = c + jnp.where(fire[g], cg_, jnp.zeros_like(c))
+                return c
+
+            return branch
+
+        branches = [make_branch(di, gs) for di, gs in enumerate(groups_of)]
+
+        r0 = b_ - A_ @ x0_
+        r0n = jnp.sqrt(jax.lax.psum(norm_partial(r0), axis))
+        safe = jnp.where(r0n == 0.0, 1.0, r0n)
+        ring0 = jnp.tile(x0_[None, :], (W, 1))
+        hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=dtype)
+        hist0 = hist0.at[0].set(1.0)
+
+        def body(st):
+            x, ring, k, rel, hist, kk = st
+            kk, kf, kr = jax.random.split(kk, 3)
+            fire = jax.random.uniform(kf, (Lg,), dtype) < fire_prob
+            cols = jnp.round(
+                jnp.maximum(k - sim_read_delay, 0)
+                + jax.random.uniform(kr, (Lg,))
+                * (k - jnp.maximum(k - sim_read_delay, 0))
+            ).astype(jnp.int32)
+            c_part = jax.lax.switch(d, branches, (ring, cols, fire))
+            # ONE psum: the ACCUMULATE correction exchange over ICI
+            c = jax.lax.psum(c_part, axis)
+            x = x + omega * c
+            r = b_ - A_ @ x
+            rel = jnp.sqrt(jax.lax.psum(norm_partial(r), axis)) / safe
+            hist = hist.at[k + 1].set(rel)
+            ring = ring.at[(k + 1) % W].set(x)
+            return (x, ring, k + 1, rel, hist, kk)
+
+        def cond(st):
+            k, rel = st[2], st[3]
+            return (k < max_cycles) & (rel > tol) & (rel < 1e3)
+
+        st = (
+            x0_, ring0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(1.0, dtype), hist0, key_,
+        )
+        x, _, it, rel, hist, _ = jax.lax.while_loop(cond, body, st)
+        return x, it, rel, hist
+
+    rep = P()
+    a_specs = jax.tree_util.tree_map(lambda _: rep, A_dev)
+    pool_specs = {dt: P(axis, None) for dt in pools}
+    fn = jax.shard_map(
+        solve_body,
+        mesh=mesh,
+        in_specs=(a_specs, pool_specs, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep),
+    )
+    x, it, rel, hist = jax.jit(fn)(A_dev, pools, b, x0, key)
+    from amg_tpu.solve.driver import SolveResult
+
+    res = SolveResult(x=x, iters=it, rel_resnorm=rel, history=hist)
+    return res, owned_bytes
 
 
 def solve_sharded_ams_pcg(

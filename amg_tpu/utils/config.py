@@ -16,7 +16,10 @@ from typing import Optional, Tuple
 # solver taxonomy of the reference (Main.hpp:60-77), native names
 SYNC_SOLVERS = ("mult", "multadd", "mult_multadd", "afacx", "afacj", "bpx",
                 "par_bpx")
-ASYNC_SOLVERS = ("async_multadd", "async_afacx", "async_bpx")
+ASYNC_SOLVERS = ("async_multadd", "async_afacx", "async_bpx",
+                 # async additive auxiliary-space Maxwell (config 5's
+                 # literal composition: src/Maxwell.cpp + src/DMEM_Add.cpp)
+                 "async_ams")
 SMOOTH_SOLVERS = ("async_smooth",)  # one-level async relaxation (finest grid)
 EXT_SOLVERS = ("explicit_ext_bpx", "implicit_ext_bpx",
                "async_explicit_ext_bpx", "async_implicit_ext_bpx")
@@ -258,7 +261,11 @@ class SolverOptions:
             # CLI defaults converge
             if self.outer_solver == "none":
                 self.accel = "cheby"
-        if self.solver in ASYNC_SOLVERS and self.accel == "none":
+        if (
+            self.solver in ASYNC_SOLVERS
+            and self.solver != "async_ams"  # auto-omega from AMS eig bounds
+            and self.accel == "none"
+        ):
             # async additive paths cannot use the global Chebyshev recurrence
             # (partial stale updates break the 3-term consistency, reference
             # keeps d only on cheby_grid, src/DMEM_Misc.cpp:612-666) — use the

@@ -453,6 +453,42 @@ def run_experiment(opts: SolverOptions) -> SolveStats:
             key=jax.random.PRNGKey(opts.seed),
         )
         gw = None
+    elif opts.solver == "async_ams":
+        # config-5 LITERAL composition (round 5): the asynchronous
+        # additive engine driving the full Hiptmair-Xu AMS correction
+        # groups on the Maxwell edge system (reference:
+        # src/Maxwell.cpp:50-208 fed into src/DMEM_Add.cpp:20-178).
+        # Single device = the bounded-staleness simulator; num_devices>1 =
+        # the grid-parallel engine: devices own AMS groups with owned
+        # operator storage, corrections ride one ACCUMULATE psum.
+        if not (prob.aux and "G" in prob.aux):
+            raise ValueError("async_ams needs a problem with aux['G']")
+        from amg_tpu.solve.ams import (
+            ams_async_additive_solve,
+            ams_grid_parallel_solve,
+            build_ams,
+        )
+
+        ams_data, _node_cfg = build_ams(
+            prob.A, prob.aux["G"], params=None, Pi=prob.aux.get("Pi")
+        )
+        A_dev = hier.levels[0].A
+        key_a = jax.random.PRNGKey(opts.seed)
+        if grid_mesh is not None:
+            res, _owned = ams_grid_parallel_solve(
+                A_dev, ams_data, grid_mesh, b, key=key_a,
+                fire_prob=opts.fire_prob,
+                sim_read_delay=opts.sim_read_delay,
+                tol=opts.tol, max_cycles=opts.num_cycles,
+            )
+        else:
+            res = ams_async_additive_solve(
+                A_dev, ams_data, b, key=key_a,
+                fire_prob=opts.fire_prob,
+                sim_read_delay=opts.sim_read_delay,
+                tol=opts.tol, max_cycles=opts.num_cycles,
+            )
+        gw = None
     elif opts.is_async():
         omega = 1.0
         accel_kw = {}

@@ -139,8 +139,9 @@ def test_goldens_exist():
     # 5 BASELINE configs + 2 distributed round-2 configs + round-3
     # elasticity-defaults (SA+PCG) config + 2 round-4 medium-scale
     # configs (110k-dof 27pt, 49k-dof DIA elasticity mixed-precision)
-    # + the round-4 JGS mixed-precision production recipe
-    assert len(names) == 11, f"expected 11 goldens, have {names}"
+    # + the round-4 JGS mixed-precision production recipe + the round-5
+    # assembled config-5 (grid-parallel async additive Maxwell)
+    assert len(names) == 12, f"expected 12 goldens, have {names}"
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,14 @@ CONFIGS = {
         hierarchy="structured", smoother="hybrid_jgs",
         mixed_precision=True, tol=1e-5, num_cycles=60,
     ),
+    # round-5: config 5 ASSEMBLED — asynchronous additive Maxwell driven
+    # through the grid-parallel engine over 8 devices (AMS correction
+    # groups with owned operator storage; reference: src/Maxwell.cpp fed
+    # into src/DMEM_Add.cpp over the ACCUMULATE channels)
+    "config12_maxwell_async_ams_grid": dict(
+        problem="maxwell", nx=8, solver="async_ams", num_devices=8,
+        tol=1e-6, num_cycles=600, seed=0,
+    ),
 }
 
 

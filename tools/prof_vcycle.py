@@ -27,21 +27,26 @@ from amg_tpu.solve.struct_cycle import (
 )
 
 
-def slope(f, x0, k0=10, k1=60, reps=3):
-    z = f(x0)
-    jax.block_until_ready(z)
+def slope(f, x0, k0=5, k1=55, reps=2):
+    """DEVICE-only per-application cost: iterate f inside one jitted
+    fori_loop (a single launch per measurement — no per-launch enqueue in
+    the marginal), slope between two fixed iteration counts."""
+    # dynamic trip count: ONE compile per phase (lowered to while_loop;
+    # loop overhead is negligible against these kernel sizes)
+    loop = jax.jit(
+        lambda u, k: jax.lax.fori_loop(0, k, lambda _, v: f(v), u)
+    )
 
-    def chain(k):
-        zz = x0
+    def run(k):
         t0 = time.perf_counter()
-        for _ in range(k):
-            zz = f(zz)
-        leaf = jax.tree_util.tree_leaves(zz)[0]
+        out = loop(x0, k)
+        leaf = jax.tree_util.tree_leaves(out)[0]
         float(jnp.sum(leaf))
         return time.perf_counter() - t0
 
-    ta = min(chain(k0) for _ in range(reps))
-    tb = min(chain(k1) for _ in range(reps))
+    run(k0)  # compile once
+    ta = min(run(k0) for _ in range(reps))
+    tb = min(run(k1) for _ in range(reps))
     return max(tb - ta, 1e-12) / (k1 - k0)
 
 
