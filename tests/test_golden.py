@@ -140,8 +140,9 @@ def test_goldens_exist():
     # elasticity-defaults (SA+PCG) config + 2 round-4 medium-scale
     # configs (110k-dof 27pt, 49k-dof DIA elasticity mixed-precision)
     # + the round-4 JGS mixed-precision production recipe + the round-5
-    # assembled config-5 (grid-parallel async additive Maxwell)
-    assert len(names) == 12, f"expected 12 goldens, have {names}"
+    # assembled config-5 (grid-parallel async additive Maxwell) and the
+    # round-5 medium (33k-dof) accelerated async multadd
+    assert len(names) == 13, f"expected 13 goldens, have {names}"
 
 
 # ---------------------------------------------------------------------------

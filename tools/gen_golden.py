@@ -86,6 +86,13 @@ CONFIGS = {
         problem="maxwell", nx=8, solver="async_ams", num_devices=8,
         tol=1e-6, num_cycles=600, seed=0,
     ),
+    # round-5 MEDIUM async golden (verdict item 6): the async additive
+    # goldens topped out at n~2k; this pins a 33k-dof async multadd run
+    # through the accelerated (asymmetric cheby) production path
+    "config13_27pt_medium_async": dict(
+        problem="27pt", n=32, solver="async_multadd", seed=0,
+        accel="cheby",
+    ),
 }
 
 
