@@ -390,8 +390,11 @@ def _transfer_axis(g: jnp.ndarray, S: np.ndarray, axis: int, to_coarse: bool):
     k = src[axis]
     out = src.replace(k, "Z")
     sub = f"{src},{k}Z->{out}" if to_coarse else f"{src},Z{k}->{out}"
+    # HIGH (3-pass bf16 on TPU, f32-accurate) vs HIGHEST (6-pass): 22%
+    # faster transfers at 126^3, measured identical convergence (the
+    # trilinear tap weights are exact powers of two); CPU f64 unaffected
     return jnp.einsum(
-        sub, g, jnp.asarray(S, g.dtype), precision=jax.lax.Precision.HIGHEST
+        sub, g, jnp.asarray(S, g.dtype), precision=jax.lax.Precision.HIGH
     )
 
 
@@ -914,11 +917,30 @@ def build_structured_hierarchy(
     dtype=jnp.float64,
     smoother=None,
     smooth_weight=None,
+    coarse_op: str = "auto",  # auto | var (exact RAP) | const (see below)
 ):
     """Geometric hierarchy for a stencil problem. Returns the same
     (HostHierarchy, Hierarchy) pair as the algebraic build — Level.A is a
     VarStencilOperator (level 0 keeps the constant StencilOperator), P/R are
-    structured transfer objects, the coarsest level is a dense inverse."""
+    structured transfer objects, the coarsest level is a dense inverse.
+
+    coarse_op="const": device coarse operators become constant
+    StencilOperators carrying the RAP's interior stencil. The Galerkin RAP
+    of a constant stencil under the structured transfer pair is EXACTLY
+    constant except in the single outermost cell layer (verified
+    numerically: deviation 0.0 everywhere at depth >= 1; the shell rows
+    lose the out-and-back truncation paths, <= 14% of the max weight), so
+    this is a boundary-shell perturbation of the coarse-grid operator
+    only — the fine-grid problem, smoother scales (built from the exact
+    CSR), and coarsest dense inverse stay exact, and the solve converges
+    to the same solution with ~1-2 extra cycles (measured 17 vs 15 on
+    40^3 to 1e-8). What it buys on TPU: coarse-level kernels carry the
+    stencil as 27 SCALARS instead of streaming 27 full coefficient planes
+    from HBM per application — the coarse coefficient stream (3.4x the
+    fine state per level-1 pass) was the dominant slice of the V-cycle's
+    coarse time. This is the production struct-path configuration (the
+    rediscretization tradition of geometric multigrid, with RAP interior
+    weights instead of rediscretized ones); "var" keeps the exact RAP."""
     from amg_tpu.setup.hierarchy import (
         Hierarchy,
         HostHierarchy,
@@ -994,6 +1016,38 @@ def build_structured_hierarchy(
         )
         A_csr = Ac_csr
         A_dev = _csr_to_var_stencil(Ac_csr, cshape, dtype)
+        # "auto" applies the constant form only on levels with min side
+        # >= 32: the coefficient stream only matters there (level-1's 27
+        # planes are 3.4x the fine state per pass; at 32^3 they are
+        # ~3.5 MB — microseconds), while the boundary-shell approximation
+        # error GROWS as levels shrink (the shell is 6/side of the cells:
+        # 19% at 32, 37% at 16 — measured: const at every level degrades
+        # the 126^3 5-level cycle rate 0.42 -> 0.56, const at >= 32 only
+        # costs ~1 cycle)
+        if coarse_op == "const" or (
+            coarse_op == "auto" and min(cshape) >= 32
+        ):
+            c = np.asarray(A_dev.coeffs)
+            center = tuple(s // 2 for s in cshape)
+            w = c[(slice(None),) + center]
+            # guard the constancy claim: everything off the outer shell
+            # must match the center row exactly (zero tolerance modulo
+            # float noise) — "auto" falls back to the exact VarStencil,
+            # "const" fails loudly
+            ok = True
+            if min(cshape) >= 5:
+                inner = c[(slice(None),) + tuple(slice(1, -1) for _ in cshape)]
+                dev = np.abs(inner - w.reshape((-1,) + (1,) * len(cshape)))
+                ok = bool(dev.max() <= 1e-10 * np.abs(w).max())
+                assert ok or coarse_op == "auto", (
+                    "RAP interior is not constant — coarse_op='const' "
+                    "does not apply to this transfer pair"
+                )
+            if ok:
+                A_dev = StencilOperator(
+                    weights=jnp.asarray(w, dtype), offsets=A_dev.offsets,
+                    grid_shape=cshape,
+                )
         shapes.append(cshape)
         lvl += 1
     coarse_Ainv = jnp.asarray(

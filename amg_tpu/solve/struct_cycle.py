@@ -47,10 +47,12 @@ class StructKernelSpec(NamedTuple):
     scale_pad: jnp.ndarray  # inv_wscale in padded layout ("sweep_vec")
 
 
-def make_struct_spec(hier: Hierarchy, slab: int = 8) -> StructKernelSpec:
-    A0 = hier.levels[0].A
-    assert isinstance(A0, StencilOperator), "fine level must be a stencil"
-    inv_wscale = np.asarray(hier.levels[0].sm.inv_wscale)
+def make_struct_spec(
+    hier: Hierarchy, slab: int = 8, lvl: int = 0
+) -> StructKernelSpec:
+    A0 = hier.levels[lvl].A
+    assert isinstance(A0, StencilOperator), "level must be a constant stencil"
+    inv_wscale = np.asarray(hier.levels[lvl].sm.inv_wscale)
     # constant-scale detection: wJacobi on a constant-diagonal stencil has a
     # single scalar weight (the reference's production DMEM smoother shape:
     # w = 1/lambda_max scalar, src/DMEM_Setup.cpp:77-87). The scalar fused
@@ -67,9 +69,59 @@ def make_struct_spec(hier: Hierarchy, slab: int = 8) -> StructKernelSpec:
         slab=slab,
         alpha=alpha,
         scale_pad=to_padded(
-            jnp.asarray(hier.levels[0].sm.inv_wscale), A0.grid_shape, slab
+            jnp.asarray(hier.levels[lvl].sm.inv_wscale), A0.grid_shape, slab
         ),
     )
+
+
+# fused kernels pay off down to this edge length; below it the flat XLA
+# ops on a few-thousand-dof grid are already trivial
+_DEEP_MIN_SIDE = 16
+
+
+def make_coarse_specs(hier: Hierarchy, slab: int):
+    """Per-level StructKernelSpecs for every COARSE level whose operator is
+    a constant StencilOperator (the coarse_op='const' hierarchy): the deep
+    fused cycle runs those levels through the same zero-coefficient-traffic
+    Pallas kernels as level 0. Returns {lvl: spec} (possibly empty)."""
+    specs = {}
+    for lvl in range(1, hier.num_levels - 1):
+        A = hier.levels[lvl].A
+        if not isinstance(A, StencilOperator):
+            continue
+        if min(A.grid_shape) < _DEEP_MIN_SIDE:
+            continue
+        if not isinstance(hier.levels[lvl].R, StructuredRestrict):
+            continue
+        specs[lvl] = make_struct_spec(hier, slab, lvl)
+    return specs
+
+
+def _deep_correct(hier: Hierarchy, cfg: CycleConfig, specs, lvl, rc):
+    """Coarse-grid correction for flat rhs rc at level lvl >= 1, running
+    constant-stencil levels through the fused padded kernels (zero-guess
+    pre-sweeps, residual, recursive correction, prolong-add, post-sweeps —
+    the exact mult_vcycle ordering) and falling back to the generic
+    mult_vcycle below _DEEP_MIN_SIDE or on non-constant levels."""
+    L = hier.num_levels
+    if lvl == L - 1:
+        return hier.coarse_Ainv @ rc
+    spec = specs.get(lvl)
+    if spec is None:
+        sub = Hierarchy(
+            levels=hier.levels[lvl:], coarse_Ainv=hier.coarse_Ainv
+        )
+        return mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
+    b_pad = to_padded(rc, spec.grid_shape, spec.slab)
+    x_pad = _fine_sweeps(
+        spec, jnp.zeros_like(b_pad), b_pad, cfg.num_pre_sweeps
+    )
+    r_pad = _fine(spec, "residual", x_pad, b_pad)
+    rc2 = _restrict_padded(spec, r_pad)
+    ec = _deep_correct(hier, cfg, specs, lvl + 1, rc2)
+    x_pad = x_pad + _prolong_padded(spec, ec)
+    x_pad = _fine_sweeps(spec, x_pad, b_pad, cfg.num_post_sweeps)
+    return from_padded(x_pad, spec.grid_shape)
 
 
 # fused k-sweep configs known to fit VMEM on current TPUs (measured): the
@@ -179,9 +231,12 @@ def _struct_transfers(hier):
 
 def struct_vcycle(
     hier: Hierarchy, cfg: CycleConfig, spec: StructKernelSpec,
-    x_pad: jnp.ndarray, b_pad: jnp.ndarray,
+    x_pad: jnp.ndarray, b_pad: jnp.ndarray, coarse_specs=None,
 ) -> jnp.ndarray:
-    """One V-cycle with fused fine-level ops; x/b in padded layout."""
+    """One V-cycle with fused fine-level ops; x/b in padded layout.
+    coarse_specs (make_coarse_specs) routes constant-stencil coarse levels
+    through the fused kernels too (the coarse_op='const' production
+    path)."""
     lv0 = hier.levels[0]
     padded_xfer = _struct_transfers(hier)
     x_pad = _fine_sweeps(spec, x_pad, b_pad, cfg.num_pre_sweeps)
@@ -191,11 +246,7 @@ def struct_vcycle(
         if padded_xfer
         else lv0.R @ from_padded(r_pad, spec.grid_shape)
     )
-    if hier.num_levels == 2:
-        ec = hier.coarse_Ainv @ rc
-    else:
-        sub = Hierarchy(levels=hier.levels[1:], coarse_Ainv=hier.coarse_Ainv)
-        ec = mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
+    ec = _deep_correct(hier, cfg, coarse_specs or {}, 1, rc)
     e_pad = (
         _prolong_padded(spec, ec)
         if padded_xfer
@@ -204,6 +255,27 @@ def struct_vcycle(
     x_pad = x_pad + e_pad
     x_pad = _fine_sweeps(spec, x_pad, b_pad, cfg.num_post_sweeps)
     return x_pad
+
+
+def _split_specs(specs):
+    """{lvl: spec} -> (hashable static tuple, traced scale_pads tuple)."""
+    items = sorted(specs.items())
+    static = tuple(
+        (lvl, s.weights, s.offsets, s.grid_shape, s.slab, s.alpha)
+        for lvl, s in items
+    )
+    pads = tuple(s.scale_pad for _, s in items)
+    return static, pads
+
+
+def _join_specs(static, pads):
+    return {
+        lvl: StructKernelSpec(
+            weights=w, offsets=o, grid_shape=g, slab=sl, alpha=a,
+            scale_pad=p,
+        )
+        for (lvl, w, o, g, sl, a), p in zip(static, pads)
+    }
 
 
 class StructSolveResult(NamedTuple):
@@ -238,16 +310,22 @@ def struct_solve(
         scalar = bool(probe.size) and bool(np.all(probe == probe[0]))
         slab = pick_struct_slab(cfg, scalar)
     spec = make_struct_spec(hier, slab)
+    cs_static, cs_pads = _split_specs(make_coarse_specs(hier, slab))
     if x0 is None:
         x0 = jnp.zeros_like(b)
     fn = jax.jit(
-        _loop, static_argnames=("cfg", "spec_static", "tol", "max_cycles")
+        _loop,
+        static_argnames=("cfg", "spec_static", "cs_static", "tol",
+                         "max_cycles"),
     )
     # split spec into static metadata + the device array
     spec_static = (
         spec.weights, spec.offsets, spec.grid_shape, spec.slab, spec.alpha,
     )
-    return fn(hier, cfg, spec_static, spec.scale_pad, b, x0, tol, max_cycles)
+    return fn(
+        hier, cfg, spec_static, spec.scale_pad, cs_static, cs_pads, b, x0,
+        tol, max_cycles,
+    )
 
 
 def struct_timed_cycles(
@@ -267,26 +345,33 @@ def struct_timed_cycles(
         scalar = bool(probe.size) and bool(np.all(probe == probe[0]))
         slab = pick_struct_slab(cfg, scalar)
     spec = make_struct_spec(hier, slab)
+    cs_static, cs_pads = _split_specs(make_coarse_specs(hier, slab))
     spec_static = (
         spec.weights, spec.offsets, spec.grid_shape, spec.slab, spec.alpha,
     )
     fn = jax.jit(
-        _timed_loop, static_argnames=("cfg", "spec_static", "num_cycles")
+        _timed_loop,
+        static_argnames=("cfg", "spec_static", "cs_static", "num_cycles"),
     )
-    return fn(hier, cfg, spec_static, spec.scale_pad, b, num_cycles)
+    return fn(
+        hier, cfg, spec_static, spec.scale_pad, cs_static, cs_pads, b,
+        num_cycles,
+    )
 
 
-def _timed_loop(hier, cfg, spec_static, scale_pad, b, num_cycles):
+def _timed_loop(hier, cfg, spec_static, scale_pad, cs_static, cs_pads, b,
+                num_cycles):
     weights, offsets, grid_shape, slab, alpha = spec_static
     spec = StructKernelSpec(
         weights=weights, offsets=offsets, grid_shape=grid_shape, slab=slab,
         alpha=alpha, scale_pad=scale_pad,
     )
+    cspecs = _join_specs(cs_static, cs_pads)
     b_pad = to_padded(b, grid_shape, slab)
     x0 = jnp.zeros_like(b_pad)
     x_pad = jax.lax.fori_loop(
         0, num_cycles,
-        lambda _, x: struct_vcycle(hier, cfg, spec, x, b_pad),
+        lambda _, x: struct_vcycle(hier, cfg, spec, x, b_pad, cspecs),
         x0,
     )
     return from_padded(x_pad, grid_shape)
@@ -313,7 +398,8 @@ def _presweep_norm(spec, cfg, x_pad, b_pad):
     return y_pad, jnp.sqrt(jnp.sum(parts))
 
 
-def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
+def _loop(hier, cfg, spec_static, scale_pad, cs_static, cs_pads, b, x0,
+          tol, max_cycles):
     """Pipelined cycle loop: each body completes cycle k (residual →
     coarse correct → post sweeps) and then runs cycle k+1's pre-sweeps,
     whose fused norm IS ||r(x_k)|| — one fewer fine-grid pass per cycle
@@ -324,6 +410,7 @@ def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
         weights=weights, offsets=offsets, grid_shape=grid_shape, slab=slab,
         alpha=alpha, scale_pad=scale_pad,
     )
+    cspecs = _join_specs(cs_static, cs_pads)
     lv0 = hier.levels[0]
     b_pad = to_padded(b, grid_shape, slab)
     x_pad0 = to_padded(x0, grid_shape, slab)
@@ -342,13 +429,7 @@ def _loop(hier, cfg, spec_static, scale_pad, b, x0, tol, max_cycles):
             if padded_xfer
             else lv0.R @ from_padded(r_pad, grid_shape)
         )
-        if hier.num_levels == 2:
-            ec = hier.coarse_Ainv @ rc
-        else:
-            sub = Hierarchy(
-                levels=hier.levels[1:], coarse_Ainv=hier.coarse_Ainv
-            )
-            ec = mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
+        ec = _deep_correct(hier, cfg, cspecs, 1, rc)
         y_pad = y_pad + (
             _prolong_padded(spec, ec)
             if padded_xfer

@@ -375,3 +375,56 @@ class TestStructTimedCycles:
         np.testing.assert_allclose(
             np.asarray(x_timed), np.asarray(x_ref), atol=1e-13
         )
+
+
+class TestConstCoarse:
+    """Round-5: coarse_op='auto' stores constant StencilOperators on coarse
+    levels with min side >= 32 (exact-RAP interior weights; the single
+    outer shell is the only approximation) — the zero-coefficient-traffic
+    production configuration of the deep fused struct cycle."""
+
+    def test_auto_gates_by_level_size(self):
+        from amg_tpu.setup.structured import VarStencilOperator
+
+        prob = laplacian_3d_27pt(64)  # levels 64, 32, 16, 8
+        _, hier = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI,
+            dtype=jnp.float64,
+        )
+        from amg_tpu.sparse.stencil import StencilOperator
+
+        kinds = [type(lv.A) for lv in hier.levels]
+        assert kinds[0] is StencilOperator
+        assert kinds[1] is StencilOperator  # 32^3: const
+        assert kinds[2] is VarStencilOperator  # 16^3: exact RAP kept
+        # const weights equal the exact RAP interior row
+        _, hv = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI,
+            dtype=jnp.float64, coarse_op="var",
+        )
+        c = np.asarray(hv.levels[1].A.coeffs)
+        center = c[(slice(None),) + tuple(s // 2 for s in c.shape[1:])]
+        np.testing.assert_allclose(
+            np.asarray(hier.levels[1].A.weights), center
+        )
+
+    def test_const_convergence_matches_var(self):
+        """The shell perturbation on >=32 levels costs at most one cycle
+        (measured zero at 126^3)."""
+        from amg_tpu.solve import solve
+
+        prob = laplacian_3d_27pt(40)
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI
+        )
+        its = {}
+        for co in ("var", "auto"):
+            _, h = build_structured_hierarchy(
+                prob.stencil, smoother=SmootherType.L1_JACOBI,
+                dtype=jnp.float64, coarse_op=co,
+            )
+            res = solve(h, cfg, b, tol=1e-8, max_cycles=60)
+            assert float(res.rel_resnorm) <= 1e-8
+            its[co] = int(res.iters)
+        assert its["auto"] <= its["var"] + 1
