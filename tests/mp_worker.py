@@ -125,6 +125,30 @@ def main():
         / np.linalg.norm(np.asarray(pmx.rhs))
     )
 
+    # 5) Maxwell MULTI-HOST ASYNC (round 5 — BASELINE config 5 in full:
+    #    curl-curl + N>=2 processes + the asynchronous additive engine):
+    #    AMS correction groups owned by device groups SPANNING the process
+    #    boundary, owned pooled operator storage, corrections riding one
+    #    ACCUMULATE psum per superstep across Gloo
+    #    (reference: src/Maxwell.cpp -> src/DMEM_Add.cpp over
+    #    src/DMEM_Comm.cpp:81-348)
+    from amg_tpu.setup.hierarchy import _format_converter
+    from amg_tpu.solve.ams import ams_grid_parallel_solve, build_ams
+
+    pax = maxwell_curlcurl(n=6, sigma=1.0)
+    ams_a, _ncfg = build_ams(pax.A, pax.aux["G"], Pi=pax.aux["Pi"])
+    A_ax = _format_converter(params)(pax.A, jnp.float64)
+    b_ax = jnp.asarray(np.asarray(pax.rhs) / np.linalg.norm(pax.rhs))
+    ares, owned = ams_grid_parallel_solve(
+        A_ax, ams_a, mesh, b_ax, tol=1e-6, max_cycles=600,
+    )
+    ax = np.asarray(multihost_utils.process_allgather(ares.x, tiled=True))
+    a_true = float(
+        np.linalg.norm(
+            np.asarray(b_ax) - pax.A.to_scipy() @ ax
+        ) / np.linalg.norm(np.asarray(b_ax))
+    )
+
     print("RESULT " + json.dumps({
         "pid": pid,
         "mult_iters": int(res.iters),
@@ -136,6 +160,10 @@ def main():
         "maxwell_iters": int(mres.iters),
         "maxwell_rel": float(mres.rel_resnorm),
         "maxwell_true_rel": m_true,
+        "async_ams_steps": int(ares.iters),
+        "async_ams_rel": float(ares.rel_resnorm),
+        "async_ams_true_rel": a_true,
+        "async_ams_owned_frac": float(max(owned) / max(sum(owned), 1)),
     }), flush=True)
 
 

@@ -92,3 +92,11 @@ def test_two_process_solves():
         f"2-process iters {r0['maxwell_iters']} vs single-process "
         f"{int(res1.iters)}"
     )
+    # Maxwell multi-host ASYNC (round 5 — config 5 in full: curl-curl +
+    # N>=2 processes + the async additive engine over AMS groups spanning
+    # the process boundary): both processes converge identically and the
+    # owned operator storage is genuinely split (no device holds > 60%)
+    assert r0["async_ams_rel"] <= 1e-6 and r1["async_ams_rel"] <= 1e-6
+    assert r0["async_ams_steps"] == r1["async_ams_steps"]
+    assert r0["async_ams_true_rel"] <= 2e-6
+    assert r0["async_ams_owned_frac"] < 0.6
