@@ -39,6 +39,21 @@ def _roofline_bytes_per_sweep(n_padded_bytes):
     return 3 * n_padded_bytes
 
 
+def fori_slope(run, k0, k1, reps=3):
+    """Median-of-reps slope of a single-launch fori chain between two trip
+    counts. The k spread must be wide enough that the marginal device time
+    dwarfs the relay's per-CALL dispatch noise (~10-30 ms): differencing
+    two calls amplifies that noise, and min-of-slopes biases impossibly
+    fast (one slow short-call makes a tiny difference) — hence MEDIAN."""
+    slopes = []
+    for _ in range(reps):
+        ta = min(run(k0) for _ in range(2))
+        tb = min(run(k1) for _ in range(2))
+        slopes.append(max((tb - ta) / (k1 - k0), 1e-12))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -119,18 +134,53 @@ def main():
         float(jnp.sum(zz))
         return time.perf_counter() - t0
 
-    # deep chains: the launch-queue round-trip dominates short chains on the
-    # remote-relay backend, so marginal cost needs a wide spread
+    bw = {"cpu": 50e9}.get(backend, 819e9)  # v5e HBM ~819 GB/s
+
+    # HEADLINE METHODOLOGY (round 5): the marginal cost per sweep over a
+    # single jitted fori_loop iterating the fused-triple kernel — pure
+    # device time, one launch per measurement. The previous python-chained
+    # form paced every launch through the relay tunnel, whose per-launch
+    # feed degrades up to 2.4x over a session (measured: chained headline
+    # 1.61 -> 0.96x roofline in one day while this fori marginal held at
+    # 58-71 us/sweep = 2.0-2.4x, matching the fused triple's own ~2.25x
+    # traffic bound). The chained number is still printed as
+    # `chained_vs_baseline` for cross-round comparison.
+    if on_tpu:
+        loop3 = jax.jit(
+            lambda u, k: jax.lax.fori_loop(0, k, lambda _, v: sweep(v), u)
+        )
+
+        def fori_run(k):
+            t0 = time.perf_counter()
+            float(jnp.sum(loop3(up, jnp.asarray(k, jnp.int32))))
+            return time.perf_counter() - t0
+
+        kf0, kf1 = (2, 10) if smoke else (20, 520)
+        fori_run(kf0)
+        per_sweep = fori_slope(fori_run, kf0, kf1) / sweeps_per_launch
+        # the fused triple cannot beat its own ~2.25x traffic bound;
+        # re-measure once if the slope comes out physically impossible
+        if nnz / per_sweep > 2.6 * (
+            nnz / (_roofline_bytes_per_sweep(state_bytes) / bw)
+        ):
+            per_sweep = (
+                fori_slope(fori_run, kf0, kf1) / sweeps_per_launch
+            )
+    else:
+        per_sweep = None
+
+    # chained form (the rounds-1..4 number, kept for comparison)
     k0, k1 = (1, 201) if smoke else (51, 301)
     reps = 1 if smoke else 4
     t0 = min(chained(k0) for _ in range(reps))
     t1 = min(chained(k1) for _ in range(reps))
-    per_sweep = (t1 - t0) / (k1 - k0) / sweeps_per_launch
-    if per_sweep <= 0:  # timing noise on tiny smoke problems
-        per_sweep = t1 / k1
+    per_sweep_chained = (t1 - t0) / (k1 - k0) / sweeps_per_launch
+    if per_sweep_chained <= 0:  # timing noise on tiny smoke problems
+        per_sweep_chained = t1 / k1
+    if per_sweep is None:
+        per_sweep = per_sweep_chained
     nnz_per_s = nnz / per_sweep
 
-    bw = {"cpu": 50e9}.get(backend, 819e9)  # v5e HBM ~819 GB/s
     roofline_nnz_per_s = nnz / (_roofline_bytes_per_sweep(state_bytes) / bw)
 
     # ---- auxiliary metrics (printed first; the driver parses the LAST
@@ -157,9 +207,11 @@ def main():
     # their own traffic bounds. Any breach exits rc=2.
     violations = []
     if on_tpu and not smoke:
-        if headline_ratio < 1.1:
+        if headline_ratio < 1.7:
+            # fori-marginal band measured 1.96-2.38 (the triple's own
+            # traffic bound is ~2.25x the single-sweep roofline)
             violations.append(
-                f"spmv_smoother {headline_ratio:.3f} < floor 1.1"
+                f"spmv_smoother {headline_ratio:.3f} < floor 1.7"
             )
         if single_ratio is not None and single_ratio < 0.25:
             # chained number: feed/launch-dominated — measured 0.43-1.02
@@ -192,11 +244,11 @@ def main():
             # rounds (gather-path variance at 24k dofs); floor below the
             # measured band
             "file_bsr_spmv_nnz_per_s": 8.0e9,
-            # the 157k DIA metrics swing 0.57-0.91 of stream bound run to
-            # run (kernel ~200 us vs relay jitter at this size); the
-            # 362k pair is the stable claim-bearing size (0.85-0.91)
-            "dia_spmv_frac": 0.55,
-            "dia_sweep_frac": 0.55,
+            # under the fori-marginal methodology both DIA sizes are
+            # stable at 0.85-0.89 of stream bound (the chained form swung
+            # 0.57-0.91 at 157k)
+            "dia_spmv_frac": 0.70,
+            "dia_sweep_frac": 0.70,
             "dia_spmv_frac_362k": 0.75,
             "dia_sweep_frac_362k": 0.75,
         }
@@ -230,6 +282,11 @@ def main():
                 "value": nnz_per_s,
                 "unit": "nnz/s",
                 "vs_baseline": headline_ratio,
+                "methodology": "fori-loop device marginal (round 5)",
+                "plausible": bool(headline_ratio <= 2.6),
+                "chained_vs_baseline": (
+                    (nnz / per_sweep_chained) / roofline_nnz_per_s
+                ),
             }
         )
     )
@@ -496,30 +553,26 @@ def aux_bsr(smoke, dtype):
         x = jnp.asarray(
             np.random.default_rng(0).random(prob.n), dtype=dtype
         )
-        mv = jax.jit(lambda v: A @ v)
-        z = mv(x)
-        jax.block_until_ready(z)
+        # fori-loop device marginal (round 5 — the python-chained form
+        # paces every launch through the relay tunnel, whose feed swings
+        # up to 2.4x over a session; the normalized body keeps the chain
+        # finite, ||A|| ~ 1e3 overflows f32 in ~12 raw applications)
+        loop = jax.jit(
+            lambda A_, v, k: jax.lax.fori_loop(
+                0, k,
+                lambda _, u: (lambda y: y / jnp.linalg.norm(y))(A_ @ u),
+                v,
+            )
+        )
 
-        def chained(k):
-            zz = x
+        def run(k):
             t0 = time.perf_counter()
-            for _ in range(k):
-                zz = mv(zz)
-            float(jnp.sum(zz))  # materialize (relay sync)
+            float(jnp.sum(loop(A, x, jnp.asarray(k, jnp.int32))))
             return time.perf_counter() - t0
 
-        k0, k1 = (1, 21) if smoke else (1, 101)
-
-        def measure():
-            t0 = min(chained(k0) for _ in range(2))
-            t1 = min(chained(k1) for _ in range(2))
-            return max((t1 - t0) / (k1 - k0), 1e-12)
-
-        # best-of-3 full slopes: the gather-bound BSR chain warms up over
-        # the first measurement on the relay backend (measured 6 -> 11.8
-        # -> 14.1 -> 14.1 Gnnz/s across repeats in one process — the
-        # rounds-2..4 "slide" was this warmup artifact, not the kernel)
-        per = min(measure() for _ in range(3))
+        k0, k1 = (2, 10) if smoke else (50, 1250)
+        run(k0)
+        per = fori_slope(run, k0, k1)
         print(json.dumps({
             "metric": "bsr_spmv_nnz_per_s",
             "value": prob.A.nnz / per,
@@ -595,26 +648,23 @@ def aux_file_bsr(smoke, dtype):
         x = jnp.asarray(
             np.random.default_rng(0).random(prob.n), dtype=dtype
         )
-        mv = jax.jit(lambda v: (lambda y: y / jnp.linalg.norm(y))(A @ v))
-        z = mv(x)
-        jax.block_until_ready(z)
+        # fori-loop device marginal (see aux_bsr)
+        loop = jax.jit(
+            lambda A_, v, k: jax.lax.fori_loop(
+                0, k,
+                lambda _, u: (lambda y: y / jnp.linalg.norm(y))(A_ @ u),
+                v,
+            )
+        )
 
-        def chained(k):
-            zz = x
+        def run(k):
             t0 = time.perf_counter()
-            for _ in range(k):
-                zz = mv(zz)
-            float(jnp.sum(zz))  # materialize (relay sync)
+            float(jnp.sum(loop(A, x, jnp.asarray(k, jnp.int32))))
             return time.perf_counter() - t0
 
-        k0, k1 = (1, 21) if smoke else (1, 101)
-
-        def measure():
-            t0 = min(chained(k0) for _ in range(2))
-            t1 = min(chained(k1) for _ in range(2))
-            return max((t1 - t0) / (k1 - k0), 1e-12)
-
-        per = min(measure() for _ in range(3))  # best-of-3 (see aux_bsr)
+        k0, k1 = (2, 10) if smoke else (50, 1250)
+        run(k0)
+        per = fori_slope(run, k0, k1)
         print(json.dumps({
             "metric": "file_bsr_spmv_nnz_per_s",
             "value": prob.A.nnz / per,
@@ -663,25 +713,24 @@ def _dia_rates(prob, op, dtype, smoke, suffix=""):
                 lambda o, v: norm_last(o.fused_jacobi_sweeps(v, x, s, 1))
             ),
         ))
-    k0, k1 = (2, 10) if smoke else (30, 150)
+    k0, k1 = (2, 10) if smoke else (20, 420)
     for name, f in fns:
-        z = f(op, x)
-        jax.block_until_ready(z)
+        # fori-loop device marginal, operator passed as a jit ARGUMENT
+        # (the 99-plane operators exceed the relay's request-size limit
+        # as closure constants); the body stays normalized as before
+        loop = jax.jit(
+            lambda o, v, k, f=f: jax.lax.fori_loop(
+                0, k, lambda _, u: f(o, u), v
+            )
+        )
 
-        def chained(k, f=f):
-            zz = x
+        def run(k, loop=loop):
             t0 = time.perf_counter()
-            for _ in range(k):
-                zz = f(op, zz)
-            float(jnp.sum(zz))  # materialize: block_until_ready alone
-            return time.perf_counter() - t0  # under-reports on the relay
+            float(jnp.sum(loop(op, x, jnp.asarray(k, jnp.int32))))
+            return time.perf_counter() - t0
 
-        def measure():
-            t0 = min(chained(k0) for _ in range(2))
-            t1 = min(chained(k1) for _ in range(2))
-            return max((t1 - t0) / (k1 - k0), 1e-12)
-
-        per = min(measure() for _ in range(2))  # symmetric best-of-2
+        run(k0)
+        per = fori_slope(run, k0, k1)
         # the relay backend occasionally reports a chain FASTER than the
         # coefficient-stream bound allows (degenerate request-pattern
         # pathology, see ops/pallas_var_stencil.py header): re-measure
