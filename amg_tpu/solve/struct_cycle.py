@@ -26,6 +26,12 @@ from amg_tpu.ops.pallas_stencil import (
     stencil_kernel_padded,
     to_padded,
 )
+from amg_tpu.ops.pallas_transfer import (
+    coarse_shape_of,
+    prolong_sweep_padded,
+    residual_restrict_padded,
+    transfer_fuse_ok,
+)
 from amg_tpu.setup.hierarchy import Hierarchy
 from amg_tpu.setup.structured import (
     StructuredRestrict,
@@ -97,6 +103,128 @@ def make_coarse_specs(hier: Hierarchy, slab: int):
     return specs
 
 
+# fused transfer kernels pay off only where the fine state is large enough
+# that the removed HBM intermediates dominate the added per-kernel fixed
+# cost (windowed DMA amplification + the in-kernel MXU transfer dots):
+# measured at 126^3, fusing the 63^3-and-below levels DOUBLED the coarse
+# chain cost (0.030 -> 0.064 ms) while fusing level 0 saved ~0.03 ms
+_FUSE_MIN_SIDE = 96
+
+
+def _can_fuse(hier: Hierarchy, lvl: int, spec) -> bool:
+    """True when level lvl's transfers can run through the fused Pallas
+    residual+restrict / prolong+sweep kernels (ops/pallas_transfer.py):
+    structured separable transfers with the standard (s+1)//2 coarsening
+    on every axis, reach-1 stencil, kernel windows that fit, and a level
+    large enough for the fusion to win (_FUSE_MIN_SIDE)."""
+    R = hier.levels[lvl].R
+    if not isinstance(R, StructuredRestrict):
+        return False
+    if min(spec.grid_shape) < _FUSE_MIN_SIDE:
+        return False
+    return transfer_fuse_ok(
+        spec.grid_shape, R.coarse_shape, spec.offsets, spec.slab
+    )
+
+
+def _fused_correct_and_post(hier, cfg, specs, lvl, spec, x_pad, b_pad):
+    """From the post-pre-sweep padded iterate x_pad at level lvl: fused
+    residual+restrict (the fine residual never touches HBM), recursive
+    coarse correction, fused prolong+first-post-sweep (the correction-add
+    costs zero extra HBM passes), remaining post sweeps. Numerically the
+    exact mult_vcycle ordering (tested in interpret mode)."""
+    cs = coarse_shape_of(spec.grid_shape)
+    rc_pad = residual_restrict_padded(
+        x_pad, b_pad, spec.weights, spec.grid_shape, spec.offsets, spec.slab
+    )
+    nxt = specs.get(lvl + 1)
+    ec_flat = ec_pad = None
+    if (
+        lvl + 1 < hier.num_levels - 1
+        and nxt is not None
+        and (
+            _can_fuse(hier, lvl + 1, nxt)
+            or _can_fuse_zg(hier, lvl + 1, nxt, cfg)
+        )
+    ):
+        ec_pad = _deep_correct_fused(hier, cfg, specs, lvl + 1, rc_pad)
+    else:
+        ec_flat = _deep_correct(
+            hier, cfg, specs, lvl + 1, from_padded(rc_pad, cs)
+        )
+    if cfg.num_post_sweeps >= 1:
+        if ec_pad is None:
+            ec_pad = to_padded(ec_flat, cs, spec.slab)
+        x_pad = prolong_sweep_padded(
+            x_pad, b_pad, ec_pad, spec.weights, spec.grid_shape,
+            spec.offsets, alpha=spec.alpha,
+            scale_pad=None if spec.alpha != 0.0 else spec.scale_pad,
+            slab=spec.slab,
+        )
+        return _fine_sweeps(spec, x_pad, b_pad, cfg.num_post_sweeps - 1)
+    if ec_flat is None:
+        ec_flat = from_padded(ec_pad, cs)
+    return x_pad + _prolong_padded(spec, ec_flat)
+
+
+def _can_fuse_zg(hier: Hierarchy, lvl: int, spec, cfg: CycleConfig) -> bool:
+    """True when a COARSE level's whole V(1,1) visit can run as two fused
+    zero-guess kernels: rc2 = R(b - A(s b)) and x' = S(s b + P ec, b) —
+    the dominant win on the 63^3/32^3 levels, where the generic visit's
+    sweep kernels + einsum transfers are pure HBM re-streaming of 1-3 MB
+    arrays. Needs the single-pre-sweep shape (the zero-guess pre-sweep is
+    exactly x = s b) and at least one post sweep."""
+    if cfg.num_pre_sweeps != 1 or cfg.num_post_sweeps < 1:
+        return False
+    R = hier.levels[lvl].R
+    if not isinstance(R, StructuredRestrict):
+        return False
+    return transfer_fuse_ok(
+        spec.grid_shape, R.coarse_shape, spec.offsets, spec.slab
+    )
+
+
+def _deep_correct_fused(hier, cfg, specs, lvl, rc_pad):
+    """Coarse-grid correction with PADDED rhs in, PADDED correction out —
+    the all-fused chain (caller guarantees specs[lvl] and _can_fuse /
+    _can_fuse_zg)."""
+    spec = specs[lvl]
+    if _can_fuse_zg(hier, lvl, spec, cfg):
+        # zero-guess level visit in two kernels: the pre-sweep from zero
+        # is x = s*b, folded into both transfer kernels
+        cs = coarse_shape_of(spec.grid_shape)
+        sp = None if spec.alpha != 0.0 else spec.scale_pad
+        rc2_pad = residual_restrict_padded(
+            None, rc_pad, spec.weights, spec.grid_shape, spec.offsets,
+            spec.slab, zero_guess=True, scale_pad=sp, alpha=spec.alpha,
+        )
+        nxt = specs.get(lvl + 1)
+        if (
+            lvl + 1 < hier.num_levels - 1
+            and nxt is not None
+            and (
+                _can_fuse(hier, lvl + 1, nxt)
+                or _can_fuse_zg(hier, lvl + 1, nxt, cfg)
+            )
+        ):
+            ec_pad = _deep_correct_fused(hier, cfg, specs, lvl + 1, rc2_pad)
+        else:
+            ec = _deep_correct(
+                hier, cfg, specs, lvl + 1, from_padded(rc2_pad, cs)
+            )
+            ec_pad = to_padded(ec, cs, spec.slab)
+        x_pad = prolong_sweep_padded(
+            None, rc_pad, ec_pad, spec.weights, spec.grid_shape,
+            spec.offsets, alpha=spec.alpha, scale_pad=sp, slab=spec.slab,
+            zero_guess=True,
+        )
+        return _fine_sweeps(spec, x_pad, rc_pad, cfg.num_post_sweeps - 1)
+    x_pad = _fine_sweeps(
+        spec, jnp.zeros_like(rc_pad), rc_pad, cfg.num_pre_sweeps
+    )
+    return _fused_correct_and_post(hier, cfg, specs, lvl, spec, x_pad, rc_pad)
+
+
 def _deep_correct(hier: Hierarchy, cfg: CycleConfig, specs, lvl, rc):
     """Coarse-grid correction for flat rhs rc at level lvl >= 1, running
     constant-stencil levels through the fused padded kernels (zero-guess
@@ -112,6 +240,12 @@ def _deep_correct(hier: Hierarchy, cfg: CycleConfig, specs, lvl, rc):
             levels=hier.levels[lvl:], coarse_Ainv=hier.coarse_Ainv
         )
         return mult_vcycle(sub, cfg, jnp.zeros_like(rc), rc)
+    if _can_fuse(hier, lvl, spec) or _can_fuse_zg(hier, lvl, spec, cfg):
+        rc_pad = to_padded(rc, spec.grid_shape, spec.slab)
+        return from_padded(
+            _deep_correct_fused(hier, cfg, specs, lvl, rc_pad),
+            spec.grid_shape,
+        )
     b_pad = to_padded(rc, spec.grid_shape, spec.slab)
     x_pad = _fine_sweeps(
         spec, jnp.zeros_like(b_pad), b_pad, cfg.num_pre_sweeps
@@ -240,6 +374,10 @@ def struct_vcycle(
     lv0 = hier.levels[0]
     padded_xfer = _struct_transfers(hier)
     x_pad = _fine_sweeps(spec, x_pad, b_pad, cfg.num_pre_sweeps)
+    if padded_xfer and _can_fuse(hier, 0, spec):
+        return _fused_correct_and_post(
+            hier, cfg, coarse_specs or {}, 0, spec, x_pad, b_pad
+        )
     r_pad = _fine(spec, "residual", x_pad, b_pad)
     rc = (
         _restrict_padded(spec, r_pad)
@@ -421,8 +559,14 @@ def _loop(hier, cfg, spec_static, scale_pad, cs_static, cs_pads, b, x0,
 
     padded_xfer = _struct_transfers(hier)
 
+    fuse0 = padded_xfer and _can_fuse(hier, 0, spec)
+
     def finish_cycle(y_pad):
         """residual → restrict → coarse solve → prolong → post sweeps."""
+        if fuse0:
+            return _fused_correct_and_post(
+                hier, cfg, cspecs, 0, spec, y_pad, b_pad
+            )
         r_pad = _fine(spec, "residual", y_pad, b_pad)
         rc = (
             _restrict_padded(spec, r_pad)

@@ -428,3 +428,188 @@ class TestConstCoarse:
             assert float(res.rel_resnorm) <= 1e-8
             its[co] = int(res.iters)
         assert its["auto"] <= its["var"] + 1
+
+
+class TestFusedTransfers:
+    """Round-5 fused transfer kernels (ops/pallas_transfer.py): the
+    residual+restrict and prolong+add+sweep fusions must be numerically
+    identical (f64 interpret mode) to the XLA composition they replace."""
+
+    def _setup(self, n=20):
+        from amg_tpu.solve.struct_cycle import make_struct_spec
+
+        prob = laplacian_3d_27pt(n)
+        hh, hier = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI
+        )
+        spec = make_struct_spec(hier, 8)
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.random(prob.n))
+        x = jnp.asarray(rng.random(prob.n))
+        return hier, spec, x, b
+
+    def test_residual_restrict_matches_composition(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.ops.pallas_stencil import to_padded
+        from amg_tpu.ops.pallas_transfer import (
+            coarse_shape_of, residual_restrict_padded, transfer_fuse_ok,
+        )
+        from amg_tpu.solve.struct_cycle import _fine, _restrict_padded
+
+        hier, spec, x, b = self._setup()
+        gs = spec.grid_shape
+        assert transfer_fuse_ok(gs, coarse_shape_of(gs), spec.offsets, 8)
+        x_pad = to_padded(x, gs, 8)
+        b_pad = to_padded(b, gs, 8)
+        with pltpu.force_tpu_interpret_mode():
+            rc_pad = residual_restrict_padded(
+                x_pad, b_pad, spec.weights, gs, spec.offsets, 8
+            )
+            r_pad = _fine(spec, "residual", x_pad, b_pad)
+        rc_ref = _restrict_padded(spec, r_pad)
+        cs = coarse_shape_of(gs)
+        got = to_padded(jnp.zeros(int(np.prod(cs))), cs, 8) * 0 + rc_pad
+        want = to_padded(rc_ref, cs, 8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-13
+        )
+
+    def test_residual_restrict_zero_guess(self):
+        """zg mode folds the zero-guess pre-sweep in: R(b - A(s*b))."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.ops.pallas_stencil import to_padded
+        from amg_tpu.ops.pallas_transfer import (
+            coarse_shape_of, residual_restrict_padded,
+        )
+        from amg_tpu.solve.struct_cycle import (
+            _fine, _fine_sweeps, _restrict_padded,
+        )
+
+        hier, spec, _, b = self._setup()
+        gs = spec.grid_shape
+        b_pad = to_padded(b, gs, 8)
+        with pltpu.force_tpu_interpret_mode():
+            rc_pad = residual_restrict_padded(
+                None, b_pad, spec.weights, gs, spec.offsets, 8,
+                zero_guess=True, scale_pad=spec.scale_pad, alpha=spec.alpha,
+            )
+            x1 = _fine_sweeps(spec, jnp.zeros_like(b_pad), b_pad, 1)
+            r_pad = _fine(spec, "residual", x1, b_pad)
+        rc_ref = _restrict_padded(spec, r_pad)
+        cs = coarse_shape_of(gs)
+        want = to_padded(rc_ref, cs, 8)
+        np.testing.assert_allclose(
+            np.asarray(rc_pad), np.asarray(want), atol=1e-13
+        )
+
+    def test_prolong_sweep_matches_composition(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.ops.pallas_stencil import to_padded
+        from amg_tpu.ops.pallas_transfer import (
+            coarse_shape_of, prolong_sweep_padded,
+        )
+        from amg_tpu.solve.struct_cycle import (
+            _fine_sweeps, _prolong_padded,
+        )
+
+        hier, spec, x, b = self._setup()
+        gs = spec.grid_shape
+        cs = coarse_shape_of(gs)
+        x_pad = to_padded(x, gs, 8)
+        b_pad = to_padded(b, gs, 8)
+        ec = jnp.asarray(np.random.default_rng(1).random(int(np.prod(cs))))
+        ec_pad = to_padded(ec, cs, 8)
+        with pltpu.force_tpu_interpret_mode():
+            got = prolong_sweep_padded(
+                x_pad, b_pad, ec_pad, spec.weights, gs, spec.offsets,
+                alpha=spec.alpha, scale_pad=spec.scale_pad, slab=8,
+            )
+            u2 = x_pad + _prolong_padded(spec, ec)
+            want = _fine_sweeps(spec, u2, b_pad, 1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-13
+        )
+
+    def test_prolong_sweep_zero_guess(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from amg_tpu.ops.pallas_stencil import to_padded
+        from amg_tpu.ops.pallas_transfer import (
+            coarse_shape_of, prolong_sweep_padded,
+        )
+        from amg_tpu.solve.struct_cycle import (
+            _fine_sweeps, _prolong_padded,
+        )
+
+        hier, spec, _, b = self._setup()
+        gs = spec.grid_shape
+        cs = coarse_shape_of(gs)
+        b_pad = to_padded(b, gs, 8)
+        ec = jnp.asarray(np.random.default_rng(1).random(int(np.prod(cs))))
+        ec_pad = to_padded(ec, cs, 8)
+        with pltpu.force_tpu_interpret_mode():
+            got = prolong_sweep_padded(
+                None, b_pad, ec_pad, spec.weights, gs, spec.offsets,
+                alpha=spec.alpha, scale_pad=spec.scale_pad, slab=8,
+                zero_guess=True,
+            )
+            x1 = _fine_sweeps(spec, jnp.zeros_like(b_pad), b_pad, 1)
+            u2 = x1 + _prolong_padded(spec, ec)
+            want = _fine_sweeps(spec, u2, b_pad, 1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-13
+        )
+
+    def test_struct_solve_level0_fused_parity(self, monkeypatch):
+        """Full solve with the level-0 fused transfers engaged (the
+        production gate needs >=96 sides; lower it for the test) —
+        iterates identical to the generic cycle."""
+        import amg_tpu.solve.struct_cycle as sc
+        from jax.experimental.pallas import tpu as pltpu
+
+        monkeypatch.setattr(sc, "_FUSE_MIN_SIDE", 16)
+        prob = laplacian_3d_27pt(20)
+        hh, hier = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI
+        )
+        spec = sc.make_struct_spec(hier, 8)
+        assert sc._can_fuse(hier, 0, spec)
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI
+        )
+        with pltpu.force_tpu_interpret_mode():
+            res_f = sc.struct_solve(hier, cfg, b, tol=1e-8, max_cycles=40)
+        res_r = solve(hier, cfg, b, tol=1e-8, max_cycles=40)
+        assert res_f.num_iters() == res_r.num_iters()
+        np.testing.assert_allclose(
+            np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-12
+        )
+
+    def test_struct_solve_zero_guess_coarse_parity(self):
+        """V(1,1) coarse levels route through the two-kernel zero-guess
+        visit (rr_zg + ps_zg); trajectory identical to the generic cycle."""
+        import amg_tpu.solve.struct_cycle as sc
+        from jax.experimental.pallas import tpu as pltpu
+
+        prob = laplacian_3d_27pt(33)
+        hh, hier = build_structured_hierarchy(
+            prob.stencil, smoother=SmootherType.L1_JACOBI,
+            coarse_op="const",
+        )
+        cfg = CycleConfig(
+            cycle=CycleType.MULT, smoother=SmootherType.L1_JACOBI
+        )
+        cspecs = sc.make_coarse_specs(hier, 8)
+        assert 1 in cspecs and sc._can_fuse_zg(hier, 1, cspecs[1], cfg)
+        b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+        with pltpu.force_tpu_interpret_mode():
+            res_f = sc.struct_solve(hier, cfg, b, tol=1e-8, max_cycles=30)
+        res_r = solve(hier, cfg, b, tol=1e-8, max_cycles=30)
+        assert res_f.num_iters() == res_r.num_iters()
+        np.testing.assert_allclose(
+            np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-12
+        )
