@@ -47,6 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from amg_tpu.ops.pallas_stencil import LANE, padded_shape
 
+# below this many bytes of manual-stream traffic, kernels copy the whole
+# streams into VMEM at program 0 instead of running per-program windowed
+# DMA (the window machinery's fixed cost dominates at small levels)
+_RESIDENT_BYTES = 6 * 1024 * 1024
+
 # y/x transfer contractions run on the MXU at HIGHEST precision: the tap
 # weights are exact powers of two and the data side is fully carried, so
 # the result matches the f32 einsum transfers (and is exact in f64
@@ -175,7 +180,7 @@ def _residual_window(u, b_ref, taps, W, Yr, Xr):
 
 def _rr_kernel(
     *refs,
-    taps, dims, Tc, G, Zr, zero_guess, alpha,
+    taps, dims, Tc, G, Zr, zero_guess, alpha, resident,
 ):
     """One coarse z-slab of the fused residual+restrict kernel. Program g
     produces padded-coarse rows [g*Tc, (g+1)*Tc): each coarse interior row
@@ -206,48 +211,73 @@ def _rr_kernel(
     g = pl.program_id(0)
     Z, Y, X = dims
     W = 2 * Tc + 3
-    Yr, Xr = ubufs.shape[2], ubufs.shape[3]
+    Yr, Xr = ubufs.shape[-2], ubufs.shape[-1]
 
     def lo_of(j):
         return jnp.clip(2 * Tc * j - 3, 0, Zr - W)
 
-    def dma(j, k, hbm, buf, slot):
-        return pltpu.make_async_copy(
-            hbm.at[pl.ds(lo_of(j), W)], buf.at[k], sem.at[k, jnp.int32(slot)]
-        )
+    if resident:
+        # small level: copy the WHOLE streams into persistent scratch at
+        # program 0 and slice windows from VMEM — per-program windowed DMA
+        # machinery costs more than the whole array's traffic here
+        @pl.when(g == 0)
+        def _():
+            cps = [pltpu.make_async_copy(u_hbm, ubufs, sem.at[0, 0])]
+            if bbufs is not None:
+                cps.append(
+                    pltpu.make_async_copy(b_hbm, bbufs, sem.at[0, 1])
+                )
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
 
-    def start(j, k):
-        dma(j, k, u_hbm, ubufs, 0).start()
-        if bbufs is not None:
-            dma(j, k, b_hbm, bbufs, 1).start()
+        lo = lo_of(g)
+        uwin = ubufs[pl.ds(lo, W)]
+        bwin = bbufs[pl.ds(lo, W)] if bbufs is not None else None
+    else:
+        def dma(j, k, hbm, buf, slot):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(lo_of(j), W)], buf.at[k],
+                sem.at[k, jnp.int32(slot)],
+            )
 
-    def wait(j, k):
-        dma(j, k, u_hbm, ubufs, 0).wait()
-        if bbufs is not None:
-            dma(j, k, b_hbm, bbufs, 1).wait()
+        def start(j, k):
+            dma(j, k, u_hbm, ubufs, 0).start()
+            if bbufs is not None:
+                dma(j, k, b_hbm, bbufs, 1).start()
 
-    @pl.when(g == 0)
-    def _():
-        start(jnp.int32(0), jnp.int32(0))
+        def wait(j, k):
+            dma(j, k, u_hbm, ubufs, 0).wait()
+            if bbufs is not None:
+                dma(j, k, b_hbm, bbufs, 1).wait()
 
-    @pl.when(g + 1 < G)
-    def _():
-        start(g + 1, (g + 1) % 2)
+        @pl.when(g == 0)
+        def _():
+            start(jnp.int32(0), jnp.int32(0))
 
-    k_cur = g % 2
-    wait(g, k_cur)
+        @pl.when(g + 1 < G)
+        def _():
+            start(g + 1, (g + 1) % 2)
 
-    lo = lo_of(g)
+        k_cur = g % 2
+        wait(g, k_cur)
+        lo = lo_of(g)
+        uwin = ubufs.at[k_cur]
+        bwin = bbufs.at[k_cur] if bbufs is not None else None
+
     if zero_guess:
-        # streams: ubufs = b, bbufs = scale; x = scale*b (the zero-guess
+        # streams: u = b, b = scale; x = scale*b (the zero-guess
         # pre-sweep), r = b - A x computed against the SAME b window
         if use_scale:
-            xw_ref[...] = ubufs[k_cur] * bbufs[k_cur]
+            xw_ref[...] = (
+                (uwin[...] * bwin[...]) if not resident else uwin * bwin
+            )
         else:
-            xw_ref[...] = alpha * ubufs[k_cur]
-        r = _residual_window(xw_ref, ubufs.at[k_cur], taps, W, Yr, Xr)
+            xw_ref[...] = alpha * (uwin[...] if not resident else uwin)
+        r = _residual_window(xw_ref, uwin, taps, W, Yr, Xr)
     else:
-        r = _residual_window(ubufs.at[k_cur], bbufs.at[k_cur], taps, W, Yr, Xr)
+        r = _residual_window(uwin, bwin, taps, W, Yr, Xr)
     # mask to the fine interior: window row j is fine padded z = lo + j
     zi = jax.lax.broadcasted_iota(jnp.int32, (W, Yr, Xr), 0) + lo
     yi = jax.lax.broadcasted_iota(jnp.int32, (W, Yr, Xr), 1)
@@ -310,16 +340,22 @@ def _residual_restrict_impl(
         (int(o[0]), int(o[1]), int(o[2]), float(w))
         for o, w in zip(offsets, weights)
     )
+    two_streams = (not zero_guess) or alpha == 0.0
+    # resident mode: small levels hold the whole streams in VMEM (copied
+    # once at program 0) — per-program windowed DMA costs more than the
+    # entire array's traffic there. Cutoff ~6 MB of stream bytes.
+    plane = Yr * Xr * u_pad.dtype.itemsize
+    resident = (1 + int(two_streams)) * Zr * plane <= _RESIDENT_BYTES
     kernel = functools.partial(
         _rr_kernel, taps=taps, dims=(Z, Y, X), Tc=Tc, G=G, Zr=Zr,
-        zero_guess=zero_guess, alpha=alpha,
+        zero_guess=zero_guess, alpha=alpha, resident=resident,
     )
-    two_streams = (not zero_guess) or alpha == 0.0
     args = [u_pad] + ([b_pad] if two_streams else [])
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * len(args)
-    scratch = [pltpu.VMEM((2, W, Yr, Xr), u_pad.dtype)]
+    sshape = (Zr, Yr, Xr) if resident else (2, W, Yr, Xr)
+    scratch = [pltpu.VMEM(sshape, u_pad.dtype)]
     if two_streams:
-        scratch.append(pltpu.VMEM((2, W, Yr, Xr), u_pad.dtype))
+        scratch.append(pltpu.VMEM(sshape, u_pad.dtype))
     if zero_guess:
         scratch.append(pltpu.VMEM((W, Yr, Xr), u_pad.dtype))  # x window
     scratch += [
@@ -367,7 +403,7 @@ def residual_restrict_padded(
 
 def _ps_kernel(
     *refs,
-    taps, dims, T, G, alpha, use_scale, Zc_r, zero_guess,
+    taps, dims, T, G, alpha, use_scale, Zc_r, zero_guess, resident,
 ):
     """One fine z-slab of the fused prolong+add+sweep kernel:
 
@@ -417,6 +453,38 @@ def _ps_kernel(
         cp = pltpu.make_async_copy(ec_hbm, ec_ref, sem_ec.at[0])
         cp.start()
         cp.wait()
+
+    if resident:
+        # small level: whole streams copied into persistent scratch at
+        # program 0; window rows are clamped VMEM slices (out-of-range
+        # rows clamp onto shell/pad rows, which are zero)
+        @pl.when(g == 0)
+        def _():
+            cps = [
+                pltpu.make_async_copy(hbm, bufs, sem.at[0, jnp.int32(s0)])
+                for hbm, bufs, s0 in streams
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+        Zr_full = streams[0][1].shape[0]
+
+        def stream_row(bufs, j):
+            idx = jnp.clip(g * T - 1 + j, 0, Zr_full - 1)
+            return bufs[pl.ds(idx, 1)]
+
+        def stream_mid(bufs):
+            return bufs[pl.ds(g * T, T)]
+    else:
+        def stream_row(bufs, j):
+            return bufs[k_cur_holder[0], j : j + 1, :, :]
+
+        def stream_mid(bufs):
+            return bufs[k_cur_holder[0], 1 : T + 1, :, :]
+
+    k_cur_holder = [None]
 
     # windowed streams [g*T - 1, g*T + T + 1): same edge-handled halo DMA
     # pattern as _sweep_kernel (amg_tpu/ops/pallas_stencil.py)
@@ -502,16 +570,17 @@ def _ps_kernel(
                 for hbm, bufs, s0 in streams:
                     dma_bot(j, k, hbm, bufs, s0).wait()
 
-    @pl.when(g == 0)
-    def _():
-        start_slab(jnp.int32(0), jnp.int32(0))
+    if not resident:
+        @pl.when(g == 0)
+        def _():
+            start_slab(jnp.int32(0), jnp.int32(0))
 
-    @pl.when(g + 1 < G)
-    def _():
-        start_slab(g + 1, (g + 1) % 2)
+        @pl.when(g + 1 < G)
+        def _():
+            start_slab(g + 1, (g + 1) % 2)
 
-    k_cur = g % 2
-    wait_slab(g, k_cur)
+        k_cur_holder[0] = g % 2
+        wait_slab(g, k_cur_holder[0])
 
     # expand the NZ needed coarse planes (padded-coarse rows
     # [T//2*g, T//2*g + NZ)) to fine y/x resolution on the MXU
@@ -538,12 +607,10 @@ def _ps_kernel(
 
     def x_row(j):
         if not zero_guess:
-            return xbufs[k_cur, j : j + 1, :, :]
+            return stream_row(xbufs, j)
         if use_scale:
-            return (
-                sbufs[k_cur, j : j + 1, :, :] * bbufs[k_cur, j : j + 1, :, :]
-            )
-        return alpha * bbufs[k_cur, j : j + 1, :, :]
+            return stream_row(sbufs, j) * stream_row(bbufs, j)
+        return alpha * stream_row(bbufs, j)
 
     up_rows = []
     for j in range(T + 2):
@@ -597,8 +664,8 @@ def _ps_kernel(
             acc = partial if acc is None else acc + partial
 
     if zero_guess:
-        bv = bbufs[k_cur, 1 : T + 1, :, :]
-        sc = sbufs[k_cur, 1 : T + 1, :, :] if use_scale else alpha
+        bv = stream_mid(bbufs)
+        sc = stream_mid(sbufs) if use_scale else alpha
     else:
         bv = b_ref[...]
         sc = scale_ref[...] if use_scale else alpha
@@ -632,9 +699,13 @@ def _prolong_sweep_impl(
         (int(o[0]), int(o[1]), int(o[2]), float(w))
         for o, w in zip(offsets, weights)
     )
+    n_wstreams = (1 + int(use_scale)) if zero_guess else 1
+    plane = Yr * Xr * b_pad.dtype.itemsize
+    resident = n_wstreams * Zr * plane <= _RESIDENT_BYTES
     kernel = functools.partial(
         _ps_kernel, taps=taps, dims=(Z, Y, X), T=T, G=G, alpha=alpha,
         use_scale=use_scale, Zc_r=Zc_r, zero_guess=zero_guess,
+        resident=resident,
     )
     blk = lambda: pl.BlockSpec(
         (T, Yr, Xr), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
@@ -655,10 +726,9 @@ def _prolong_sweep_impl(
     in_specs.append(hbm())
     args.append(ec_pad)
     NZ = T // 2 + 2
-    n_wstreams = (1 + int(use_scale)) if zero_guess else 1
+    wshape = (Zr, Yr, Xr) if resident else (2, T + 2, Yr, Xr)
     scratch = [
-        pltpu.VMEM((2, T + 2, Yr, Xr), b_pad.dtype)
-        for _ in range(n_wstreams)
+        pltpu.VMEM(wshape, b_pad.dtype) for _ in range(n_wstreams)
     ] + [
         pltpu.VMEM((Zc_r, Ycp, Xcp), b_pad.dtype),  # resident ec copy
         pltpu.VMEM((NZ, Yr, Xr), b_pad.dtype),
