@@ -105,6 +105,8 @@ def _keep_fields(my_levels, L, cfg: CycleConfig):
     every group owning a fine-matrix copy exactly as the reference's
     LOCAL_RES design (src/DMEM_Add.cpp:530-556)."""
     owned = set(my_levels)
+    if not owned:  # a device with no levels touches no operators
+        return set()
     if cfg.cycle == CycleType.AFACX:
         owned |= {min(k + 1, L - 1) for k in my_levels}
     deepest = max(owned)
@@ -383,6 +385,14 @@ def grid_parallel_solve(
                         hview, ring, cols_all[lvl], fire[lvl], lvl, c_pend,
                         ls,
                     )
+                # normalize the varying-manual-axes type: a device with no
+                # assigned levels would return a replicated-typed zeros
+                # while other branches return pool-derived (varying)
+                # values, which lax.switch rejects (same hazard fixed in
+                # solve/ams.py's group branches)
+                vma = getattr(jax.typeof(c), "vma", frozenset())
+                if axis not in vma:
+                    c = jax.lax.pvary(c, (axis,))
                 return c
 
             return branch

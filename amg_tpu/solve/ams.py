@@ -668,6 +668,14 @@ def ams_grid_parallel_solve(
                         metas[d_idx], g, r_g
                     )
                     c = c + jnp.where(fire[g], cg_, jnp.zeros_like(c))
+                # normalize the output's varying-manual-axes type: branches
+                # differ in which pooled (device-varying) operators they
+                # touch, so without this some branches trace replicated and
+                # others varying and lax.switch rejects the mismatch
+                # (surfaced at n>=24 group assignments)
+                vma = getattr(jax.typeof(c), "vma", frozenset())
+                if axis not in vma:
+                    c = jax.lax.pvary(c, (axis,))
                 return c
 
             return branch

@@ -266,8 +266,10 @@ def main():
             # elasticity V(2,2) JGS cycle at 157k: r05 measured value +
             # variance band (gated against its own traffic bound too)
             "elasticity_vcycle_ms": 2.6,
-            # flagship V-cycle: must stay within 2x its HBM traffic bound
-            "vcycle_ms_over_bound": 2.0,
+            # flagship V-cycle: fused transfers landed it at 1.55x its
+            # HBM traffic bound (0.197 ms, round-5 second pass); 1.9
+            # flags a regression while absorbing the 0.19-0.23 relay band
+            "vcycle_ms_over_bound": 1.9,
         }
         for k, ceil in time_ceilings.items():
             v = recs.get(k)

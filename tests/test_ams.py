@@ -350,3 +350,74 @@ class TestShardedFullAMS:
         assert abs(int(res8.iters) - int(res1.iters)) <= 2
         r = np.asarray(p.rhs) - p.A.to_scipy() @ np.asarray(res8.x)
         assert np.linalg.norm(r) / np.linalg.norm(np.asarray(p.rhs)) < 2e-8
+
+
+def test_grid_parallel_empty_device_branch():
+    """Round-5 bug fix: a device whose group list is EMPTY must still
+    trace a varying-typed branch output — at n>=24 the work model leaves
+    devices group-less and lax.switch rejected the replicated/varying
+    branch mismatch ('varying manual axes do not match'). Reproduced
+    here cheaply by passing an explicit assignment with an empty device."""
+    from amg_tpu.parallel import make_row_mesh
+    from amg_tpu.problems.maxwell import maxwell_curlcurl
+    from amg_tpu.setup.hierarchy import HierarchyParams, _format_converter
+    from amg_tpu.solve.ams import build_ams, ams_grid_parallel_solve
+
+    p = maxwell_curlcurl(n=8, sigma=1.0)
+    ams, _ = build_ams(p.A, p.aux["G"], Pi=p.aux["Pi"])
+    A = _format_converter(HierarchyParams())(p.A, jnp.float64)
+    b = jnp.asarray(p.rhs / np.linalg.norm(p.rhs))
+    mesh = make_row_mesh(8)
+    from amg_tpu.solve.ams import plan_ams_groups
+
+    groups_of, gscale = plan_ams_groups(ams, 8)
+    # squeeze every group onto the first 7 devices; device 7 owns NOTHING
+    packed = [list(gs) for gs in groups_of]
+    if packed[7]:
+        packed[6] = packed[6] + packed[7]
+        packed[7] = []
+    res, owned = ams_grid_parallel_solve(
+        A, ams, mesh, b, tol=1e-5, max_cycles=600,
+        groups_of=tuple(tuple(g) for g in packed), group_scale=gscale,
+    )
+    assert float(res.rel_resnorm) <= 1e-5
+
+
+def test_grid_parallel_empty_level_device():
+    """Same varying-axes hazard in the grid-parallel LEVEL engine
+    (parallel/grid.py): a device owning no levels must not break the
+    switch."""
+    from amg_tpu.parallel import make_row_mesh
+    from amg_tpu.parallel.grid import grid_parallel_solve, plan_grid_levels
+    from amg_tpu.problems import laplacian_2d_5pt
+    from amg_tpu.setup.hierarchy import (
+        HierarchyParams, build_host_hierarchy, device_hierarchy,
+    )
+    from amg_tpu.smooth import SmootherType
+    from amg_tpu.solve import CycleConfig, CycleType
+    from amg_tpu.solve.async_sim import AsyncConfig
+
+    prob = laplacian_2d_5pt(16)
+    params = HierarchyParams(
+        smoother=SmootherType.L1_JACOBI, keep_stencil_fine=False
+    )
+    hh = build_host_hierarchy(prob.A, params)
+    hier = device_hierarchy(hh, params)
+    mesh = make_row_mesh(8)
+    _, levels_of, lscale = plan_grid_levels(hh, 8)
+    packed = [list(ls) for ls in levels_of]
+    if packed[7]:
+        packed[6] = packed[6] + packed[7]
+        packed[7] = []
+    cfg = CycleConfig(
+        cycle=CycleType.MULTADD, smoother=SmootherType.L1_JACOBI,
+        use_smoothed_transfers=True,
+    )
+    acfg = AsyncConfig(omega=0.7, fire_prob=0.8, sim_read_delay=1,
+                       async_type="semi")
+    b = jnp.asarray(np.random.default_rng(0).random(prob.n))
+    res = grid_parallel_solve(
+        hier, cfg, acfg, tuple(tuple(ls) for ls in packed), lscale, mesh,
+        b, tol=1e-6, max_cycles=300,
+    )
+    assert float(res.rel_resnorm) <= 1e-6
